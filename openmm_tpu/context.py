@@ -1,0 +1,627 @@
+"""Context: binds a System + Integrator to device state and jitted programs.
+
+TPU-native counterpart of Context/ContextImpl
+(/root/reference/openmmapi/src/ContextImpl.cpp): where the reference selects a
+platform, instantiates 36 kernels and drives them per step (ContextImpl.cpp
+:113-190, :293-323), this Context compiles every Force into a differentiable
+energy module, fuses them into one step(state, params) function per
+force-group mask, jits it once, and drives n steps with lax.fori_loop — the
+hot loop never leaves the device (the property the reference's launch-only
+loop approximates, SURVEY §3.2).
+
+Covers: platform/precision selection, molecule detection
+(ContextImpl.cpp:345-429), constraint setup (SETTLE/CCMA partition per
+IntegrationUtilities.cpp:132-199), virtual sites, global parameters,
+updateParametersInContext, getState incl. per-molecule wrapping
+(Context.cpp:122-143), checkpoints (ContextImpl.cpp:445-490),
+setVelocitiesToTemperature, applyConstraints.
+"""
+from __future__ import annotations
+
+import io
+import pickle
+
+import numpy as np
+
+from . import unit as u
+from .constants import BOLTZ
+from .exceptions import OpenMMException
+from .forces.base import CompileConfig, CompiledForce
+from .integrators.base import StepDeps
+from .platform import Platform
+from .state import State
+from .vec3 import Vec3
+
+_F64_SUPPORT_CACHE = {}
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def _backend_supports_f64(device):
+    key = device.platform
+    if key not in _F64_SUPPORT_CACHE:
+        import jax
+        import jax.numpy as jnp
+        try:
+            x = jax.device_put(np.zeros((), np.float64), device)
+            (x + 1.0).block_until_ready()
+            _F64_SUPPORT_CACHE[key] = True
+        except Exception:
+            _F64_SUPPORT_CACHE[key] = False
+    return _F64_SUPPORT_CACHE[key]
+
+
+class Context(object):
+    def __init__(self, system, integrator, platform=None, properties=None):
+        import jax
+        import jax.numpy as jnp
+
+        self._system = system
+        self._integrator = integrator
+        if platform is None:
+            platform = Platform.findPlatform()
+        elif isinstance(platform, str):
+            platform = Platform.getPlatformByName(platform)
+        self._platform = platform
+        self._properties = dict(properties or {})
+        for prop in self._properties:
+            if prop not in platform.getPropertyNames():
+                raise OpenMMException("Illegal property name: " + prop)
+
+        # --- device & precision profile -----------------------------------
+        pname = platform.getName()
+        precision = self._properties.get(
+            "Precision", platform.getPropertyDefaultValue("Precision"))
+        if pname in ("Reference", "CPU"):
+            self._device = jax.devices("cpu")[0]
+        else:
+            self._device = jax.devices()[0]
+        if precision == "double":
+            if not _backend_supports_f64(self._device):
+                self._device = jax.devices("cpu")[0]
+            self._dtype = jnp.float64
+            self._accum_dtype = jnp.float64
+        elif precision == "mixed":
+            self._dtype = jnp.float32
+            # f64 accumulation only where it's native (CPU); on TPU f64 is
+            # emulated and would dominate the step cost — mixed there means
+            # f32 compute + f64 scalar bookkeeping (time), like the
+            # reference's f32+fixed-point design (ComputeContext.h:309)
+            self._accum_dtype = (jnp.float64
+                                 if self._device.platform == "cpu"
+                                 else jnp.float32)
+        else:
+            self._dtype = jnp.float32
+            self._accum_dtype = jnp.float32
+        self._time_dtype = (jnp.float64 if _backend_supports_f64(self._device)
+                            else jnp.float32)
+
+        n = system.getNumParticles()
+        if n == 0:
+            raise OpenMMException("Cannot create a Context for a System with no particles")
+        self._n = n
+
+        # --- validation (ContextImpl.cpp:63-92) ----------------------------
+        masses = system._masses_array()
+        for idx in system._vsites:
+            if masses[idx] != 0.0:
+                raise OpenMMException(
+                    "Virtual site at index %d must have mass 0" % idx)
+        for (p1, p2, d) in system._constraints:
+            if masses[p1] == 0.0 or masses[p2] == 0.0:
+                raise OpenMMException(
+                    "A constraint cannot involve a massless particle")
+
+        # --- compile forces -------------------------------------------------
+        cfg = CompileConfig(
+            n_particles=n, dtype=self._dtype, accum_dtype=self._accum_dtype,
+            masses=masses, uses_pbc=system.usesPeriodicBoundaryConditions(),
+            platform_name=pname,
+            pair_block=256 if pname != "Reference" else 128)
+        self._cfg = cfg
+        self._modules = []
+        self._module_force = []   # parallel list: owning Force object
+        with jax.default_device(self._device):
+            for force in system.getForces():
+                compiled = force._compile(system, cfg)
+                if isinstance(compiled, CompiledForce):
+                    compiled = [compiled]
+                for m in compiled:
+                    self._modules.append(m)
+                    self._module_force.append(force)
+
+        # --- global parameters ----------------------------------------------
+        self._gp_defaults = {}
+        for m in self._modules:
+            for name, val in m.global_defaults.items():
+                self._gp_defaults[name] = val
+
+        # --- molecules (union-find over constraints/bonds/vsites) ------------
+        self._molecule_id, self._n_molecules = self._detect_molecules()
+
+        # --- constraints ------------------------------------------------------
+        from .ops import constraints as cons_mod
+        settle_clusters, ccma_cons = cons_mod.partition_constraints(
+            system._constraints, masses)
+        angles = []
+        from .forces.bonded import HarmonicAngleForce
+        for force in system.getForces():
+            if isinstance(force, HarmonicAngleForce):
+                for (p1, p2, p3, theta0, k) in force._angles:
+                    angles.append((p1, p2, p3, theta0))
+        with jax.default_device(self._device):
+            self._settle = cons_mod.make_settle(settle_clusters, masses, self._dtype)
+            self._ccma = cons_mod.make_ccma(ccma_cons, masses, angles, self._dtype)
+        self._has_constraints = bool(system._constraints)
+
+        # --- virtual sites -----------------------------------------------------
+        from .ops.vsites import make_vsite_updater
+        with jax.default_device(self._device):
+            self._vsite_update = make_vsite_updater(system, self._dtype)
+
+        # --- masses on device ---------------------------------------------------
+        with jax.default_device(self._device):
+            self._masses_dev = jnp.asarray(masses.astype(self._dtype))
+            inv = np.where(masses == 0.0, 0.0, 1.0 / np.where(masses == 0, 1.0, masses))
+            self._inv_masses_dev = jnp.asarray(inv.astype(self._dtype))
+            self._params = [m.params for m in self._modules]
+            self._molecule_id_dev = jnp.asarray(self._molecule_id)
+
+        # --- initial state ---------------------------------------------------------
+        seed = getattr(integrator, "_seed", 0) or 0
+        if seed == 0:
+            seed = int(np.random.randint(1, 2 ** 31 - 1))
+        with jax.default_device(self._device):
+            self._state = {
+                "positions": jnp.zeros((n, 3), self._dtype),
+                "velocities": jnp.zeros((n, 3), self._dtype),
+                "box": jnp.asarray(system._box_array().astype(self._dtype)),
+                "time": jnp.zeros((), self._time_dtype),
+                "step": jnp.zeros((), jnp.int64 if _backend_supports_f64(self._device) else jnp.int32),
+                "key": jax.random.PRNGKey(seed),
+                "gp": {k: jnp.asarray(v, self._dtype)
+                       for k, v in self._gp_defaults.items()},
+                "iparams": {},
+                "faux": {},
+            }
+        self._positions_set = False
+
+        # --- deps bundle + jit caches --------------------------------------------
+        self._deps = self._make_deps()
+        # per-force aux state
+        with jax.default_device(self._device):
+            for i, m in enumerate(self._modules):
+                if m.init_aux is not None:
+                    self._state["faux"][str(i)] = m.init_aux(self._deps)
+        self._sync_integrator_params()
+        self._step_fn_cache = {}
+        self._ef_fn_cache = {}
+        self._ke_fn_cache = {}
+        integrator._bind(self)
+
+    # ------------------------------------------------------------------ deps
+    def _make_deps(self):
+        import jax
+        import jax.numpy as jnp
+        deps = StepDeps(
+            n_particles=self._n, dtype=self._dtype,
+            masses=self._masses_dev, inv_masses=self._inv_masses_dev,
+            molecule_id=self._molecule_id_dev, n_molecules=self._n_molecules,
+            has_constraints=self._has_constraints)
+
+        settle, ccma, vsite = self._settle, self._ccma, self._vsite_update
+
+        def apply_position_constraints(ref, new):
+            if settle is not None:
+                new = settle[0](ref, new)
+            if ccma is not None:
+                new = ccma[0](ref, new)
+            return new
+
+        def apply_velocity_constraints(pos, vel):
+            if settle is not None:
+                vel = settle[1](pos, vel)
+            if ccma is not None:
+                vel = ccma[1](pos, vel)
+            return vel
+
+        def compute_vsites(pos):
+            if vsite is not None:
+                pos = vsite(pos)
+            return pos
+
+        deps.apply_position_constraints = apply_position_constraints
+        deps.apply_velocity_constraints = apply_velocity_constraints
+        deps.compute_vsites = compute_vsites
+
+        modules = self._modules
+
+        def potential_energy(pos, box, params_list, gp, groups=-1):
+            pos_full = compute_vsites(pos)
+            e = jnp.zeros((), self._accum_dtype)
+            for m, p in zip(modules, params_list):
+                if m.energy_fn is None:
+                    continue
+                if m.force_group >= 0 and not (groups & (1 << m.force_group)):
+                    continue
+                if m.force_group < 0 and not (groups & (1 << 0)):
+                    # merged recip modules with group -1 follow group 0
+                    continue
+                e = e + m.energy_fn(pos_full, box, p, gp).astype(self._accum_dtype)
+            return e
+
+        def force_fn_factory(groups):
+            def pe(pos, box, params_list, gp):
+                return potential_energy(pos, box, params_list, gp, groups)
+
+            def ef(pos, box, params_list, gp):
+                e, neg_f = jax.value_and_grad(pe)(pos, box, params_list, gp)
+                return e, -neg_f
+
+            return pe, ef
+
+        deps._potential_energy = potential_energy
+        deps._force_fn_factory = force_fn_factory
+        # all-groups closures for hooks (barostat)
+        pe_all, ef_all = force_fn_factory(-1)
+        deps.energy_fn = pe_all
+        deps.force_fn = ef_all
+
+        # update hooks
+        hooks = []
+        for i, m in enumerate(modules):
+            if m.update_state_fn is not None:
+                def make_hook(m=m, i=i):
+                    def hook(state, params_list):
+                        aux = state["faux"].get(str(i))
+                        new_state, new_aux = m.update_state_fn(deps, state,
+                                                               params_list, aux)
+                        if new_aux is not None:
+                            new_state = dict(new_state)
+                            new_state["faux"] = dict(new_state["faux"])
+                            new_state["faux"][str(i)] = new_aux
+                        return new_state
+                    return hook
+                hooks.append((make_hook(), i))
+        deps.update_hooks = hooks
+        return deps
+
+    def _deps_for_groups(self, groups):
+        """A shallow copy of deps with force_fn restricted to `groups`."""
+        import copy
+        deps = copy.copy(self._deps)
+        pe, ef = self._deps._force_fn_factory(groups)
+        deps.force_fn = ef
+        # energy_fn (used by barostat) stays all-groups semantics?  The
+        # reference passes the integrator's groups to the barostat energy
+        # evaluation (MonteCarloBarostatImpl.cpp:71-72), so restrict both.
+        deps.energy_fn = pe
+        return deps
+
+    # ------------------------------------------------------------ accessors
+    def getSystem(self):
+        return self._system
+
+    def getIntegrator(self):
+        return self._integrator
+
+    def getPlatform(self):
+        return self._platform
+
+    def setTime(self, time):
+        jnp = _jnp()
+        self._state["time"] = jnp.asarray(
+            float(u.strip(time, u.picosecond)), self._time_dtype)
+
+    def getTime(self):
+        return u.Quantity(float(self._state["time"]), u.picosecond)
+
+    def setStepCount(self, count):
+        jnp = _jnp()
+        self._state["step"] = jnp.asarray(int(count), self._state["step"].dtype)
+
+    def getStepCount(self):
+        return int(self._state["step"])
+
+    def setPositions(self, positions):
+        jnp = _jnp()
+        pos = np.asarray(u.strip(positions, u.nanometer), np.float64)
+        if pos.shape != (self._n, 3):
+            raise OpenMMException(
+                "setPositions: expected %d positions, got %s" % (self._n, pos.shape))
+        arr = jnp.asarray(pos.astype(self._dtype))
+        if self._vsite_update is not None:
+            arr = self._vsite_update(arr)
+        self._state["positions"] = arr
+        self._positions_set = True
+
+    def setVelocities(self, velocities):
+        jnp = _jnp()
+        vel = np.asarray(u.strip(velocities, u.nanometer / u.picosecond), np.float64)
+        if vel.shape != (self._n, 3):
+            raise OpenMMException("setVelocities: wrong shape")
+        self._state["velocities"] = jnp.asarray(vel.astype(self._dtype))
+
+    def setVelocitiesToTemperature(self, temperature, randomSeed=None):
+        import jax
+        jnp = _jnp()
+        temp = float(u.strip(temperature, u.kelvin))
+        if randomSeed is None:
+            randomSeed = int(np.random.randint(1, 2 ** 31 - 1))
+        key = jax.random.PRNGKey(int(randomSeed))
+        kT = BOLTZ * temp
+        sigma = jnp.sqrt(kT * self._inv_masses_dev)[:, None]
+        v = sigma * jax.random.normal(key, (self._n, 3), dtype=self._dtype)
+        v = self._deps.apply_velocity_constraints(self._state["positions"], v)
+        self._state["velocities"] = v
+
+    def setPeriodicBoxVectors(self, a, b, c):
+        jnp = _jnp()
+        from .system import _validate_box
+        av = Vec3(*u.strip(a, u.nanometer))
+        bv = Vec3(*u.strip(b, u.nanometer))
+        cv = Vec3(*u.strip(c, u.nanometer))
+        _validate_box(av, bv, cv)
+        self._state["box"] = jnp.asarray(
+            np.asarray([av, bv, cv], np.float64).astype(self._dtype))
+
+    def getParameter(self, name):
+        if name not in self._state["gp"]:
+            raise OpenMMException("Called getParameter() with invalid parameter name: " + name)
+        return float(self._state["gp"][name])
+
+    def getParameters(self):
+        return {k: float(v) for k, v in self._state["gp"].items()}
+
+    def setParameter(self, name, value):
+        jnp = _jnp()
+        if name not in self._state["gp"]:
+            raise OpenMMException("Called setParameter() with invalid parameter name: " + name)
+        self._state["gp"] = dict(self._state["gp"],
+                                 **{name: jnp.asarray(float(u.strip(value)), self._dtype)})
+
+    def getMolecules(self):
+        out = [[] for _ in range(self._n_molecules)]
+        for atom, mol in enumerate(self._molecule_id):
+            out[mol].append(atom)
+        return out
+
+    # ------------------------------------------------------------- stepping
+    def _sync_integrator_params(self):
+        jnp = _jnp()
+        ip = self._integrator._integrator_params()
+        self._state["iparams"] = {
+            k: jnp.asarray(v, self._dtype) for k, v in ip.items()}
+
+    def _step(self, n_steps):
+        import jax
+        if not self._positions_set:
+            raise OpenMMException("Particle positions have not been set")
+        groups = self._integrator.getIntegrationForceGroups()
+        cache_key = ("step", groups)
+        if cache_key not in self._step_fn_cache:
+            deps = self._deps_for_groups(groups)
+            deps.update_hooks = self._deps.update_hooks
+            step_fn = self._integrator._make_step_fn(deps)
+
+            def run(state, params_list, n):
+                def body(i, s):
+                    return step_fn(s, params_list)
+                return jax.lax.fori_loop(0, n, body, state)
+
+            with jax.default_device(self._device):
+                self._step_fn_cache[cache_key] = jax.jit(run)
+        with jax.default_device(self._device):
+            self._state = self._step_fn_cache[cache_key](
+                self._state, self._params, n_steps)
+
+    # --------------------------------------------------------------- getState
+    def _energy_forces(self, groups, need_derivs=False):
+        import jax
+        key = (groups, need_derivs)
+        if key not in self._ef_fn_cache:
+            deriv_names = sorted({d for m in self._modules
+                                  for d in m.requested_derivs})
+
+            def fn(pos, box, params_list, gp):
+                def pe(pos, gp):
+                    return self._deps._potential_energy(pos, box, params_list,
+                                                        gp, groups)
+                e, neg_f = jax.value_and_grad(pe)(pos, gp)
+                derivs = {}
+                if need_derivs and deriv_names:
+                    g = jax.grad(pe, argnums=1)(pos, gp)
+                    derivs = {k: g[k] for k in deriv_names}
+                return e, -neg_f, derivs
+
+            with jax.default_device(self._device):
+                self._ef_fn_cache[key] = jax.jit(fn)
+        s = self._state
+        return self._ef_fn_cache[key](s["positions"], s["box"], self._params,
+                                      s["gp"])
+
+    def _kinetic_energy(self, forces=None):
+        return float(self._integrator._kinetic_energy(
+            self._state, self._deps, self._params, forces))
+
+    def getState(self, types=0, enforcePeriodicBox=False, groups=-1, **kwargs):
+        # keyword-style API (python wrappers): getPositions=True, etc.
+        if kwargs.get("getPositions"):
+            types |= State.Positions
+        if kwargs.get("getVelocities"):
+            types |= State.Velocities
+        if kwargs.get("getForces"):
+            types |= State.Forces
+        if kwargs.get("getEnergy"):
+            types |= State.Energy
+        if kwargs.get("getParameters"):
+            types |= State.Parameters
+        if kwargs.get("getParameterDerivatives"):
+            types |= State.ParameterDerivatives
+        if kwargs.get("getIntegratorParameters"):
+            types |= State.IntegratorParameters
+        if isinstance(groups, (set, frozenset, list, tuple)):
+            mask = 0
+            for g in groups:
+                mask |= (1 << g)
+            groups = mask
+
+        s = self._state
+        kw = {"time": float(s["time"]), "stepCount": int(s["step"]),
+              "boxVectors": np.asarray(s["box"], np.float64)}
+        forces_arr = None
+        if types & (State.Forces | State.Energy):
+            need_derivs = bool(types & State.ParameterDerivatives)
+            e, f, derivs = self._energy_forces(groups, need_derivs)
+            forces_arr = np.asarray(f, np.float64)
+            if types & State.Forces:
+                kw["forces"] = forces_arr
+            if types & State.Energy:
+                kw["potentialEnergy"] = float(e)
+                if self._integrator._kinetic_energy_requires_force():
+                    kw["kineticEnergy"] = self._kinetic_energy(f)
+                else:
+                    kw["kineticEnergy"] = self._kinetic_energy(None)
+            if types & State.ParameterDerivatives:
+                kw["paramDerivs"] = {k: float(v) for k, v in derivs.items()}
+        elif types & State.ParameterDerivatives:
+            _, _, derivs = self._energy_forces(groups, True)
+            kw["paramDerivs"] = {k: float(v) for k, v in derivs.items()}
+        if types & State.Positions:
+            pos = np.asarray(s["positions"], np.float64)
+            if enforcePeriodicBox and self._system.usesPeriodicBoundaryConditions():
+                pos = self._wrap_positions(pos, np.asarray(s["box"], np.float64))
+            kw["positions"] = pos
+        if types & State.Velocities:
+            kw["velocities"] = np.asarray(s["velocities"], np.float64)
+        if types & State.Parameters:
+            kw["parameters"] = self.getParameters()
+        if types & State.IntegratorParameters:
+            kw["integratorParams"] = {k: float(v)
+                                      for k, v in s["iparams"].items()}
+        return State(**kw)
+
+    def _wrap_positions(self, pos, box):
+        """Per-molecule wrapping into the home box (Context.cpp:122-143)."""
+        mol = self._molecule_id
+        m = np.asarray(self._system._masses_array())
+        w = np.where(m == 0, 1e-10, m)
+        num = np.zeros((self._n_molecules, 3))
+        den = np.zeros(self._n_molecules)
+        np.add.at(num, mol, w[:, None] * pos)
+        np.add.at(den, mol, w)
+        center = num / den[:, None]
+        # reduce center into the home box (staged triclinic reduction)
+        diff = np.zeros_like(center)
+        for vec_idx in (2, 1, 0):
+            v = box[vec_idx]
+            scale = np.floor(center[:, vec_idx] / box[vec_idx][vec_idx])
+            center -= scale[:, None] * v[None, :]
+            diff += scale[:, None] * v[None, :]
+        return pos - diff[mol]
+
+    # ------------------------------------------------------------ parameters
+    def _modules_for_force(self, force):
+        return [m for m, f in zip(self._modules, self._module_force) if f is force]
+
+    def _update_force_parameters(self, force):
+        import jax
+        new_params = None
+        for i, (m, f) in enumerate(zip(self._modules, self._module_force)):
+            if f is force:
+                if new_params is None:
+                    with jax.default_device(self._device):
+                        new_params = force._pack_params(self._cfg)
+                self._modules[i].params = new_params
+                self._params[i] = new_params
+
+    # --------------------------------------------------------- constraints API
+    def applyConstraints(self, tol=None):
+        pos = self._state["positions"]
+        new = self._deps.apply_position_constraints(pos, pos)
+        self._state["positions"] = self._deps.compute_vsites(new)
+
+    def applyVelocityConstraints(self, tol=None):
+        self._state["velocities"] = self._deps.apply_velocity_constraints(
+            self._state["positions"], self._state["velocities"])
+
+    def computeVirtualSites(self):
+        self._state["positions"] = self._deps.compute_vsites(
+            self._state["positions"])
+
+    # ------------------------------------------------------------- checkpoints
+    def createCheckpoint(self):
+        """Binary checkpoint (ContextImpl.cpp:445-490): platform + particle
+        count + full state pytree + parameters."""
+        import jax
+        payload = {
+            "magic": b"OMMTPU1",
+            "platform": self._platform.getName(),
+            "n_particles": self._n,
+            "state": jax.tree_util.tree_map(lambda x: np.asarray(x), self._state),
+            "params": jax.tree_util.tree_map(lambda x: np.asarray(x), self._params),
+        }
+        buf = io.BytesIO()
+        pickle.dump(payload, buf, protocol=pickle.HIGHEST_PROTOCOL)
+        return buf.getvalue()
+
+    def loadCheckpoint(self, checkpoint):
+        import jax
+        jnp = _jnp()
+        payload = pickle.loads(checkpoint)
+        if payload.get("magic") != b"OMMTPU1":
+            raise OpenMMException("Invalid checkpoint data")
+        if payload["n_particles"] != self._n:
+            raise OpenMMException("Checkpoint has wrong number of particles")
+        with jax.default_device(self._device):
+            self._state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+            self._params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        for m, p in zip(self._modules, self._params):
+            m.params = p
+        self._positions_set = True
+
+    def reinitialize(self, preserveState=False):
+        checkpoint = self.createCheckpoint() if preserveState else None
+        integrator = self._integrator
+        integrator._unbind()
+        self.__init__(self._system, integrator, self._platform, self._properties)
+        if checkpoint is not None:
+            try:
+                self.loadCheckpoint(checkpoint)
+            except OpenMMException:
+                pass
+
+    # ------------------------------------------------------------ molecules
+    def _detect_molecules(self):
+        parent = list(range(self._n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        for (p1, p2, d) in self._system._constraints:
+            union(p1, p2)
+        for idx, vs in self._system._vsites.items():
+            for k in range(vs.getNumParticles()):
+                union(idx, vs.getParticle(k))
+        for force in self._system.getForces():
+            for (p1, p2) in force._bonded_particles():
+                union(p1, p2)
+        roots = {}
+        mol_id = np.zeros(self._n, np.int32)
+        for i in range(self._n):
+            r = find(i)
+            if r not in roots:
+                roots[r] = len(roots)
+            mol_id[i] = roots[r]
+        return mol_id, len(roots)

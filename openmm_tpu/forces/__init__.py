@@ -1,0 +1,24 @@
+"""Force classes: pure-data API objects that compile to jitted energy modules.
+
+Each class mirrors a reference Force (openmmapi/include/openmm/*Force.h) at the
+API level; `_compile()` replaces the reference's Force -> ForceImpl -> per-
+platform Kernel pipeline (openmmapi/include/openmm/Force.h:107 createImpl,
+olla/include/openmm/kernels.h) with a single step: pack parameters into device
+arrays and return a differentiable energy function.
+"""
+from .base import Force, CompiledForce, CompileConfig
+from .bonded import (HarmonicBondForce, HarmonicAngleForce,
+                     PeriodicTorsionForce, RBTorsionForce, CMAPTorsionForce)
+from .nonbonded import NonbondedForce
+from .cmmotion import CMMotionRemover
+from .thermostats import AndersenThermostat
+from .barostats import (MonteCarloBarostat, MonteCarloAnisotropicBarostat,
+                        MonteCarloMembraneBarostat)
+
+__all__ = [
+    "Force", "CompiledForce", "CompileConfig",
+    "HarmonicBondForce", "HarmonicAngleForce", "PeriodicTorsionForce",
+    "RBTorsionForce", "CMAPTorsionForce", "NonbondedForce", "CMMotionRemover",
+    "AndersenThermostat", "MonteCarloBarostat", "MonteCarloAnisotropicBarostat",
+    "MonteCarloMembraneBarostat",
+]

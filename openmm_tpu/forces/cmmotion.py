@@ -1,0 +1,49 @@
+"""CMMotionRemover: periodically zero the center-of-mass velocity.
+
+Counterpart of openmmapi/include/openmm/CMMotionRemover.h + kernel
+platforms/common/src/kernels/removeCM.cc, realized as an updateContextState
+hook executed inside the jitted step (lax.cond on step % frequency).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax
+
+from .base import CompiledForce, Force
+
+
+class CMMotionRemover(Force):
+    def __init__(self, frequency=1):
+        super().__init__()
+        self._frequency = int(frequency)
+
+    def getFrequency(self):
+        return self._frequency
+
+    def setFrequency(self, freq):
+        self._frequency = int(freq)
+
+    def _compile(self, system, cfg):
+        freq = self._frequency
+        masses = jnp.asarray(system._masses_array(cfg.dtype))
+        total_mass = jnp.sum(masses)
+
+        def update_state_fn(deps, state, params_list, aux):
+            def remove(vel):
+                mom = jnp.sum(masses[:, None] * vel, axis=0)
+                v_cm = mom / total_mass
+                moving = (deps.inv_masses != 0)[:, None]
+                return jnp.where(moving, vel - v_cm[None, :], vel)
+
+            do = (state["step"] % freq) == 0
+            vel = jax.lax.cond(do, remove, lambda v: v, state["velocities"])
+            state = dict(state)
+            state["velocities"] = vel
+            return state, aux
+
+        def energy_fn(pos, box, p, gp):
+            return jnp.zeros((), cfg.accum_dtype)
+
+        return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
+                             params={}, energy_fn=energy_fn,
+                             update_state_fn=update_state_fn)

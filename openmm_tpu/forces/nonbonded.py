@@ -1,0 +1,641 @@
+"""NonbondedForce: Lennard-Jones + Coulomb with NoCutoff / CutoffNonPeriodic /
+CutoffPeriodic (reaction field) / Ewald / PME / LJPME.
+
+API and semantics mirror the reference
+(/root/reference/openmmapi/include/openmm/NonbondedForce.h:113-144 methods;
+exceptions replace standard pair terms and ignore the cutoff,
+platforms/common/src/kernels/nonbondedExceptions.cc; the direct-space pair
+math follows platforms/common/src/kernels/coulombLennardJones.cc: RF constants
+krf/crf per ReferenceLJCoulombIxn.cpp:78-79, erfc direct space, LJ switching
+1+x^3(C3+x(C4+x C5)); dispersion correction per
+openmmapi/src/NonbondedForceImpl.cpp:236; Ewald/PME auto-params per
+NonbondedForceImpl.cpp:144-234; self energy with includeReciprocal and
+dispersion correction with includeDirect per CudaKernels.cpp:1133,1347).
+
+TPU design: the direct space is a blocked dense tile sweep (ops/pairs.py);
+reciprocal space is scatter-spread + XLA FFT (ops/pme.py); forces come from
+jax.grad of the single fused energy.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import unit as u
+from ..constants import ONE_4PI_EPS0
+from ..exceptions import OpenMMException
+from ..ops import geometry as geom
+from ..ops import pairs as pairs_mod
+from ..ops import pme as pme_mod
+from .base import CompiledForce, Force
+
+_E = u.kilojoule_per_mole
+_NM = u.nanometer
+TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
+
+
+class NonbondedForce(Force):
+    # NonbondedMethod enum (NonbondedForce.h:113-144)
+    NoCutoff = 0
+    CutoffNonPeriodic = 1
+    CutoffPeriodic = 2
+    Ewald = 3
+    PME = 4
+    LJPME = 5
+
+    def __init__(self):
+        super().__init__()
+        self._particles = []        # (charge, sigma, epsilon)
+        self._exceptions = []       # (p1, p2, chargeProd, sigma, epsilon)
+        self._exception_index = {}  # (min,max) -> index
+        self._method = NonbondedForce.NoCutoff
+        self._cutoff = 1.0
+        self._switching = False
+        self._switch_dist = -1.0
+        self._rf_dielectric = 78.3
+        self._ewald_tol = 5e-4
+        self._alpha = 0.0
+        self._grid = (0, 0, 0)
+        self._lj_alpha = 0.0
+        self._lj_grid = (0, 0, 0)
+        self._dispersion_correction = True
+        self._exceptions_use_pbc = False
+        self._include_direct = True
+        self._recip_group = -1
+        self._global_params = []    # (name, default)
+        self._particle_offsets = []  # (param, particle, cScale, sScale, eScale)
+        self._exception_offsets = []  # (param, exception, cpScale, sScale, eScale)
+
+    # ------------------------------------------------------------------ API
+    def getNumParticles(self):
+        return len(self._particles)
+
+    def addParticle(self, charge, sigma, epsilon):
+        self._particles.append((float(u.strip(charge, u.elementary_charge)),
+                                float(u.strip(sigma, _NM)),
+                                float(u.strip(epsilon, _E))))
+        return len(self._particles) - 1
+
+    def getParticleParameters(self, index):
+        c, s, e = self._particles[index]
+        return (u.Quantity(c, u.elementary_charge), u.Quantity(s, _NM),
+                u.Quantity(e, _E))
+
+    def setParticleParameters(self, index, charge, sigma, epsilon):
+        self._particles[index] = (float(u.strip(charge, u.elementary_charge)),
+                                  float(u.strip(sigma, _NM)),
+                                  float(u.strip(epsilon, _E)))
+
+    def getNumExceptions(self):
+        return len(self._exceptions)
+
+    def addException(self, particle1, particle2, chargeProd, sigma, epsilon,
+                     replace=False):
+        p1, p2 = int(particle1), int(particle2)
+        key = (min(p1, p2), max(p1, p2))
+        cp = float(u.strip(chargeProd, u.elementary_charge ** 2))
+        s = float(u.strip(sigma, _NM))
+        e = float(u.strip(epsilon, _E))
+        if key in self._exception_index:
+            if not replace:
+                raise OpenMMException(
+                    "NonbondedForce: multiple exceptions for particles %d and %d"
+                    % (p1, p2))
+            idx = self._exception_index[key]
+            self._exceptions[idx] = (p1, p2, cp, s, e)
+            return idx
+        self._exceptions.append((p1, p2, cp, s, e))
+        self._exception_index[key] = len(self._exceptions) - 1
+        return len(self._exceptions) - 1
+
+    def getExceptionParameters(self, index):
+        p1, p2, cp, s, e = self._exceptions[index]
+        return (p1, p2, u.Quantity(cp, u.elementary_charge ** 2),
+                u.Quantity(s, _NM), u.Quantity(e, _E))
+
+    def setExceptionParameters(self, index, particle1, particle2, chargeProd,
+                               sigma, epsilon):
+        self._exceptions[index] = (int(particle1), int(particle2),
+                                   float(u.strip(chargeProd, u.elementary_charge ** 2)),
+                                   float(u.strip(sigma, _NM)),
+                                   float(u.strip(epsilon, _E)))
+
+    def createExceptionsFromBonds(self, bonds, coulomb14Scale, lj14Scale):
+        """1-2/1-3 fully excluded; 1-4 scaled (semantics of
+        NonbondedForce::createExceptionsFromBonds / NonbondedForceImpl)."""
+        bonded = {}
+        for b1, b2 in bonds:
+            bonded.setdefault(int(b1), set()).add(int(b2))
+            bonded.setdefault(int(b2), set()).add(int(b1))
+        exclusions = {}  # (i,j) -> separation (2 or 3 bonds)
+        for p1 in bonded:
+            for p2 in bonded[p1]:
+                key = (min(p1, p2), max(p1, p2))
+                exclusions[key] = 2
+        for p1 in bonded:
+            for mid in bonded[p1]:
+                for p2 in bonded[mid]:
+                    if p2 == p1:
+                        continue
+                    key = (min(p1, p2), max(p1, p2))
+                    exclusions.setdefault(key, 3)
+        pairs14 = {}
+        for p1 in bonded:
+            for a in bonded[p1]:
+                for b in bonded[a]:
+                    if b == p1:
+                        continue
+                    for p2 in bonded[b]:
+                        if p2 == p1 or p2 in bonded[p1] or p2 == a:
+                            continue
+                        key = (min(p1, p2), max(p1, p2))
+                        if key not in exclusions:
+                            pairs14[key] = True
+        for (p1, p2) in sorted(exclusions):
+            self.addException(p1, p2, 0.0, 1.0, 0.0, True)
+        for (p1, p2) in sorted(pairs14):
+            c1, s1, e1 = self._particles[p1]
+            c2, s2, e2 = self._particles[p2]
+            self.addException(p1, p2, coulomb14Scale * c1 * c2,
+                              0.5 * (s1 + s2),
+                              lj14Scale * math.sqrt(e1 * e2), True)
+
+    # -- method / cutoff / etc --------------------------------------------------
+    def getNonbondedMethod(self):
+        return self._method
+
+    def setNonbondedMethod(self, method):
+        if method < 0 or method > 5:
+            raise OpenMMException("NonbondedForce: illegal nonbonded method")
+        self._method = int(method)
+
+    def getCutoffDistance(self):
+        return u.Quantity(self._cutoff, _NM)
+
+    def setCutoffDistance(self, distance):
+        self._cutoff = float(u.strip(distance, _NM))
+
+    def getUseSwitchingFunction(self):
+        return self._switching
+
+    def setUseSwitchingFunction(self, use):
+        self._switching = bool(use)
+
+    def getSwitchingDistance(self):
+        return u.Quantity(self._switch_dist, _NM)
+
+    def setSwitchingDistance(self, distance):
+        self._switch_dist = float(u.strip(distance, _NM))
+
+    def getReactionFieldDielectric(self):
+        return self._rf_dielectric
+
+    def setReactionFieldDielectric(self, dielectric):
+        self._rf_dielectric = float(dielectric)
+
+    def getEwaldErrorTolerance(self):
+        return self._ewald_tol
+
+    def setEwaldErrorTolerance(self, tol):
+        self._ewald_tol = float(tol)
+
+    def getPMEParameters(self):
+        return self._alpha, *self._grid
+
+    def setPMEParameters(self, alpha, nx, ny, nz):
+        self._alpha = float(u.strip(alpha, _NM ** -1))
+        self._grid = (int(nx), int(ny), int(nz))
+
+    def getLJPMEParameters(self):
+        return self._lj_alpha, *self._lj_grid
+
+    def setLJPMEParameters(self, alpha, nx, ny, nz):
+        self._lj_alpha = float(u.strip(alpha, _NM ** -1))
+        self._lj_grid = (int(nx), int(ny), int(nz))
+
+    def getPMEParametersInContext(self, context):
+        mods = context._modules_for_force(self)
+        meta = mods[0].params.get("_pme_meta") if mods else None
+        if meta is None:
+            return self.getPMEParameters()
+        return meta
+
+    def getUseDispersionCorrection(self):
+        return self._dispersion_correction
+
+    def setUseDispersionCorrection(self, use):
+        self._dispersion_correction = bool(use)
+
+    def getExceptionsUsePeriodicBoundaryConditions(self):
+        return self._exceptions_use_pbc
+
+    def setExceptionsUsePeriodicBoundaryConditions(self, flag):
+        self._exceptions_use_pbc = bool(flag)
+
+    def getIncludeDirectSpace(self):
+        return self._include_direct
+
+    def setIncludeDirectSpace(self, include):
+        self._include_direct = bool(include)
+
+    def getReciprocalSpaceForceGroup(self):
+        return self._recip_group
+
+    def setReciprocalSpaceForceGroup(self, group):
+        if group < -1 or group > 31:
+            raise OpenMMException("Force group must be between -1 and 31")
+        self._recip_group = int(group)
+
+    # -- global parameters & offsets ----------------------------------------------
+    def getNumGlobalParameters(self):
+        return len(self._global_params)
+
+    def addGlobalParameter(self, name, defaultValue):
+        self._global_params.append((str(name), float(u.strip(defaultValue))))
+        return len(self._global_params) - 1
+
+    def getGlobalParameterName(self, index):
+        return self._global_params[index][0]
+
+    def setGlobalParameterName(self, index, name):
+        self._global_params[index] = (str(name), self._global_params[index][1])
+
+    def getGlobalParameterDefaultValue(self, index):
+        return self._global_params[index][1]
+
+    def setGlobalParameterDefaultValue(self, index, defaultValue):
+        self._global_params[index] = (self._global_params[index][0],
+                                      float(u.strip(defaultValue)))
+
+    def getNumParticleParameterOffsets(self):
+        return len(self._particle_offsets)
+
+    def addParticleParameterOffset(self, parameter, particleIndex, chargeScale,
+                                   sigmaScale, epsilonScale):
+        self._particle_offsets.append((str(parameter), int(particleIndex),
+                                       float(chargeScale), float(sigmaScale),
+                                       float(epsilonScale)))
+        return len(self._particle_offsets) - 1
+
+    def getParticleParameterOffset(self, index):
+        return self._particle_offsets[index]
+
+    def setParticleParameterOffset(self, index, parameter, particleIndex,
+                                   chargeScale, sigmaScale, epsilonScale):
+        self._particle_offsets[index] = (str(parameter), int(particleIndex),
+                                         float(chargeScale), float(sigmaScale),
+                                         float(epsilonScale))
+
+    def getNumExceptionParameterOffsets(self):
+        return len(self._exception_offsets)
+
+    def addExceptionParameterOffset(self, parameter, exceptionIndex,
+                                    chargeProdScale, sigmaScale, epsilonScale):
+        self._exception_offsets.append((str(parameter), int(exceptionIndex),
+                                        float(chargeProdScale), float(sigmaScale),
+                                        float(epsilonScale)))
+        return len(self._exception_offsets) - 1
+
+    def getExceptionParameterOffset(self, index):
+        return self._exception_offsets[index]
+
+    def setExceptionParameterOffset(self, index, parameter, exceptionIndex,
+                                    chargeProdScale, sigmaScale, epsilonScale):
+        self._exception_offsets[index] = (str(parameter), int(exceptionIndex),
+                                          float(chargeProdScale), float(sigmaScale),
+                                          float(epsilonScale))
+
+    def usesPeriodicBoundaryConditions(self):
+        return self._method in (NonbondedForce.CutoffPeriodic, NonbondedForce.Ewald,
+                                NonbondedForce.PME, NonbondedForce.LJPME)
+
+    def updateParametersInContext(self, context):
+        context._update_force_parameters(self)
+
+    def _bonded_particles(self):
+        # exceptions with nonzero chargeProd or epsilon bond particles into a
+        # molecule (NonbondedForceImpl::getBondedParticles semantics)
+        return [(e[0], e[1]) for e in self._exceptions if e[2] != 0 or e[4] != 0]
+
+    # ------------------------------------------------------------- compilation
+    def _default_global_values(self):
+        return {name: val for name, val in self._global_params}
+
+    def _resolved_pme_params(self, system):
+        box = system._box_array()
+        widths = [box[0][0], box[1][1], box[2][2]]
+        alpha, grid = self._alpha, self._grid
+        if alpha == 0.0:
+            alpha = pme_mod.ewald_alpha(self._cutoff, self._ewald_tol)
+            grid = tuple(pme_mod.pme_grid_size(widths, alpha, self._ewald_tol))
+        else:
+            grid = tuple(pme_mod.find_legal_fft_dim(g) for g in grid)
+        return alpha, grid
+
+    def _resolved_ljpme_params(self, system):
+        box = system._box_array()
+        widths = [box[0][0], box[1][1], box[2][2]]
+        alpha, grid = self._lj_alpha, self._lj_grid
+        if alpha == 0.0:
+            alpha = pme_mod.ewald_alpha(self._cutoff, self._ewald_tol)
+            grid = tuple(pme_mod.pme_grid_size(widths, alpha, self._ewald_tol, lj=True))
+        else:
+            grid = tuple(pme_mod.find_legal_fft_dim(g) for g in grid)
+        return alpha, grid
+
+    def _pack_params(self, cfg):
+        """Runtime-updatable parameter pytree (updateParametersInContext)."""
+        n = len(self._particles)
+        arr = (np.asarray(self._particles, np.float64) if n
+               else np.zeros((0, 3), np.float64))
+        p = {
+            "charge": arr[:, 0].astype(cfg.dtype),
+            "sigma": arr[:, 1].astype(cfg.dtype),
+            "epsilon": arr[:, 2].astype(cfg.dtype),
+        }
+        m = len(self._exceptions)
+        earr = (np.asarray([e[2:] for e in self._exceptions], np.float64)
+                if m else np.zeros((0, 3), np.float64))
+        p["exc_chargeprod"] = earr[:, 0].astype(cfg.dtype)
+        p["exc_sigma"] = earr[:, 1].astype(cfg.dtype)
+        p["exc_epsilon"] = earr[:, 2].astype(cfg.dtype)
+        if self.usesPeriodicBoundaryConditions() and self._dispersion_correction \
+                and self._method != NonbondedForce.LJPME:
+            p["disp_coeff"] = np.asarray(self._dispersion_coefficient(),
+                                         cfg.accum_dtype)
+        return {k: jnp.asarray(v) for k, v in p.items()}
+
+    def _dispersion_coefficient(self):
+        """Long-range LJ correction coefficient; energy adds coeff/volume
+        (NonbondedForceImpl::calcDispersionCorrection). The switched-region
+        integral is evaluated with Gauss-Legendre quadrature instead of the
+        reference's closed form — same quantity, simpler code."""
+        if self._method in (NonbondedForce.NoCutoff, NonbondedForce.CutoffNonPeriodic):
+            return 0.0
+        n = len(self._particles)
+        sigma = np.array([p[1] for p in self._particles])
+        eps = np.array([p[2] for p in self._particles])
+        defaults = self._default_global_values()
+        for (param, index, csc, ssc, esc) in self._particle_offsets:
+            sigma[index] += defaults[param] * ssc
+            eps[index] += defaults[param] * esc
+        classes = {}
+        for s, e in zip(sigma, eps):
+            classes[(s, e)] = classes.get((s, e), 0) + 1
+        keys = list(classes)
+        rc = self._cutoff
+        rs = self._switch_dist
+        use_switch = self._switching
+
+        if use_switch:
+            x_gl, w_gl = np.polynomial.legendre.leggauss(64)
+            r_q = 0.5 * (rc - rs) * x_gl + 0.5 * (rc + rs)
+            w_q = 0.5 * (rc - rs) * w_gl
+            t = (r_q - rs) / (rc - rs)
+            switch = 1.0 - t * t * t * (10.0 - 15.0 * t + 6.0 * t * t)
+
+        sum1 = sum2 = sum3 = 0.0
+        for a, (s1, e1) in enumerate(keys):
+            for b, (s2, e2) in enumerate(keys[:a + 1]):
+                if a == b:
+                    count = classes[keys[a]] * (classes[keys[a]] + 1) / 2.0
+                    sig, epsi = s1, e1
+                else:
+                    count = float(classes[keys[a]]) * classes[keys[b]]
+                    sig = 0.5 * (s1 + s2)
+                    epsi = math.sqrt(e1 * e2)
+                sig2 = sig * sig
+                sig6 = sig2 * sig2 * sig2
+                sum1 += count * epsi * sig6 * sig6
+                sum2 += count * epsi * sig6
+                if use_switch:
+                    fr = (sig6 * sig6 / r_q ** 12 - sig6 / r_q ** 6)
+                    sum3 += count * epsi * np.sum(w_q * fr * (1.0 - switch) * r_q * r_q)
+        n_int = n * (n + 1) / 2.0
+        sum1 /= n_int
+        sum2 /= n_int
+        sum3 /= n_int
+        return 8.0 * n * n * math.pi * (sum1 / (9.0 * rc ** 9)
+                                        - sum2 / (3.0 * rc ** 3) + 4.0 * sum3)
+
+    def _offset_arrays(self, gp_names, cfg):
+        """Pack parameter offsets into gather/scatter arrays."""
+        name_to_idx = {n: i for i, n in enumerate(gp_names)}
+
+        def pack(offsets):
+            if not offsets:
+                return None
+            pi = np.array([name_to_idx[o[0]] for o in offsets], np.int32)
+            tgt = np.array([o[1] for o in offsets], np.int32)
+            sc = np.array([[o[2], o[3], o[4]] for o in offsets], np.float64)
+            return (jnp.asarray(pi), jnp.asarray(tgt),
+                    jnp.asarray(sc.astype(cfg.dtype)))
+
+        return pack(self._particle_offsets), pack(self._exception_offsets)
+
+    def _compile(self, system, cfg):
+        method = self._method
+        n = cfg.n_particles
+        if len(self._particles) != n:
+            raise OpenMMException(
+                "NonbondedForce must have same number of particles as the System")
+        dtype = cfg.dtype
+        accum = cfg.accum_dtype
+        block = cfg.pair_block
+        cutoff = self._cutoff
+        periodic = self.usesPeriodicBoundaryConditions()
+        use_cutoff = method != NonbondedForce.NoCutoff
+        is_ewald_family = method in (NonbondedForce.Ewald, NonbondedForce.PME,
+                                     NonbondedForce.LJPME)
+        gp_names = [name for name, _ in self._global_params]
+        particle_offs, exception_offs = self._offset_arrays(gp_names, cfg)
+
+        # exclusion table from exceptions (exceptions REPLACE standard terms)
+        excl_pairs = [(e[0], e[1]) for e in self._exceptions]
+        n_pad = pairs_mod.pad_to_block(max(n, 1), block)
+        excl_np = pairs_mod.build_exclusion_table(n, excl_pairs)
+        excl_pad = np.full((n_pad, excl_np.shape[1]), -1, np.int32)
+        excl_pad[:n] = excl_np
+        exclusions = jnp.asarray(excl_pad)
+        exc_idx = (np.asarray([e[:2] for e in self._exceptions], np.int32)
+                   if self._exceptions else np.zeros((0, 2), np.int32))
+        exc_idx = jnp.asarray(exc_idx)
+
+        # reaction field constants (ReferenceLJCoulombIxn.cpp:78-79)
+        eps_solv = self._rf_dielectric
+        krf = (1.0 / cutoff ** 3) * (eps_solv - 1.0) / (2.0 * eps_solv + 1.0)
+        crf = (1.0 / cutoff) * 3.0 * eps_solv / (2.0 * eps_solv + 1.0)
+
+        # switching constants
+        use_switch = self._switching and use_cutoff
+        rs = self._switch_dist
+
+        # Ewald / PME setup
+        alpha = 0.0
+        ewald_kmax = None
+        pme_grid = None
+        pme_data = {}
+        lj_alpha = 0.0
+        lj_grid = None
+        if method == NonbondedForce.Ewald:
+            box = system._box_array()
+            alpha = pme_mod.ewald_alpha(cutoff, self._ewald_tol)
+            ewald_kmax = pme_mod.ewald_kmax(
+                [box[0][0], box[1][1], box[2][2]], alpha, self._ewald_tol)
+        elif method in (NonbondedForce.PME, NonbondedForce.LJPME):
+            alpha, pme_grid = self._resolved_pme_params(system)
+            md = pme_mod.make_pme_recip_data(pme_grid, 5)
+            pme_data = {k: jnp.asarray(v.astype(dtype)) for k, v in md.items()}
+            if method == NonbondedForce.LJPME:
+                lj_alpha, lj_grid = self._resolved_ljpme_params(system)
+                mdl = pme_mod.make_pme_recip_data(lj_grid, 5)
+                pme_data.update({k + "_lj": jnp.asarray(v.astype(dtype))
+                                 for k, v in mdl.items()})
+
+        self._compiled_meta = {"alpha": alpha, "grid": pme_grid,
+                               "lj_alpha": lj_alpha, "lj_grid": lj_grid,
+                               "ewald_kmax": ewald_kmax}
+
+        params = self._pack_params(cfg)
+
+        def effective_particle_params(p, gp):
+            charge, sigma, eps = p["charge"], p["sigma"], p["epsilon"]
+            if particle_offs is not None:
+                pi, tgt, sc = particle_offs
+                vals = jnp.stack([gp[name] for name in gp_names]).astype(dtype) \
+                    if gp_names else jnp.zeros(1, dtype)
+                v = vals[pi]
+                charge = charge.at[tgt].add(v * sc[:, 0])
+                sigma = sigma.at[tgt].add(v * sc[:, 1])
+                eps = eps.at[tgt].add(v * sc[:, 2])
+            return charge, sigma, eps
+
+        def effective_exception_params(p, gp):
+            cp, sig, eps = p["exc_chargeprod"], p["exc_sigma"], p["exc_epsilon"]
+            if exception_offs is not None:
+                pi, tgt, sc = exception_offs
+                vals = jnp.stack([gp[name] for name in gp_names]).astype(dtype) \
+                    if gp_names else jnp.zeros(1, dtype)
+                v = vals[pi]
+                cp = cp.at[tgt].add(v * sc[:, 0])
+                sig = sig.at[tgt].add(v * sc[:, 1])
+                eps = eps.at[tgt].add(v * sc[:, 2])
+            return cp, sig, eps
+
+        def lj_and_coulomb(r2, pi, pj):
+            """Per-tile pair energies. r2 is pre-masked 'safe'."""
+            inv_r2 = 1.0 / r2
+            r = jnp.sqrt(r2)
+            inv_r = 1.0 / r
+            sig = 0.5 * (pi["sigma"][:, None] + pj["sigma"][None, :])
+            eps4 = 4.0 * jnp.sqrt(pi["epsilon"][:, None] * pj["epsilon"][None, :])
+            sig2 = sig * sig * inv_r2
+            sig6 = sig2 * sig2 * sig2
+            e_lj = eps4 * sig6 * (sig6 - 1.0)
+            if use_switch:
+                x = jnp.clip(r - rs, 0.0, None)
+                t = x / (cutoff - rs)
+                sw = 1.0 - t * t * t * (10.0 - 15.0 * t + 6.0 * t * t)
+                e_lj = e_lj * sw
+            qq = ONE_4PI_EPS0 * pi["charge"][:, None] * pj["charge"][None, :]
+            if is_ewald_family:
+                e_c = qq * inv_r * jax.scipy.special.erfc(alpha * r)
+            elif use_cutoff:
+                e_c = qq * (inv_r + krf * r2 - crf)
+            else:
+                e_c = qq * inv_r
+            e = e_lj + e_c
+            if use_cutoff:
+                e = jnp.where(r2 < cutoff * cutoff, e, 0.0)
+            return e
+
+        def exception_energy(pos, box, p, gp):
+            if exc_idx.shape[0] == 0:
+                return jnp.zeros((), accum)
+            cp, sig, eps = effective_exception_params(p, gp)
+            b = box if self._exceptions_use_pbc else None
+            dr = geom.bond_vectors(pos, exc_idx, b)
+            r2 = jnp.sum(dr * dr, axis=-1)
+            inv_r2 = 1.0 / r2
+            sig6 = (sig * sig * inv_r2) ** 3
+            e = 4.0 * eps * sig6 * (sig6 - 1.0) \
+                + ONE_4PI_EPS0 * cp * jnp.sqrt(inv_r2)
+            return jnp.sum(e.astype(accum))
+
+        def exclusion_correction(pos, box, charge, gp):
+            """Subtract erf(alpha r)/r for every excluded pair (the reciprocal
+            sum includes all pairs; pmeExclusions.cc / ewald.cc counterpart)."""
+            if exc_idx.shape[0] == 0:
+                return jnp.zeros((), accum)
+            dr = geom.bond_vectors(pos, exc_idx, box if periodic else None)
+            r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
+            qq = ONE_4PI_EPS0 * charge[exc_idx[:, 0]] * charge[exc_idx[:, 1]]
+            e = -qq * jax.scipy.special.erf(alpha * r) / r
+            return jnp.sum(e.astype(accum))
+
+        include_direct = self._include_direct
+
+        def direct_energy(pos, box, p, gp):
+            charge, sigma, eps = effective_particle_params(p, gp)
+            pos_pad = jnp.zeros((n_pad, 3), pos.dtype).at[:n].set(pos)
+            per_atom = {
+                "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
+                "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
+                "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
+            }
+            e = pairs_mod.pair_energy_n2(
+                pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
+                block=block, periodic=periodic, accum_dtype=accum)
+            e = e + exception_energy(pos, box, p, gp)
+            if is_ewald_family:
+                e = e + exclusion_correction(pos, box, charge, gp)
+            if "disp_coeff" in p:
+                e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
+            return e
+
+        def reciprocal_energy(pos, box, p, gp):
+            charge, sigma, eps = effective_particle_params(p, gp)
+            e = pme_mod.ewald_self_energy(charge, alpha, accum)
+            if method == NonbondedForce.Ewald:
+                e = e + pme_mod.ewald_reciprocal_energy(
+                    pos, charge, box, ewald_kmax, alpha, accum)
+            else:
+                e = e + pme_mod.pme_reciprocal_energy(
+                    pos, charge, box, pme_grid, 5, alpha,
+                    pme_data["bsq_x"], pme_data["bsq_y"], pme_data["bsq_z"],
+                    accum)
+            return e
+
+        modules = []
+        merged_recip = is_ewald_family and self._recip_group in (-1, self._force_group)
+        if include_direct or not is_ewald_family:
+            if merged_recip:
+                def energy_fn(pos, box, p, gp):
+                    e = reciprocal_energy(pos, box, p, gp)
+                    if include_direct:
+                        e = e + direct_energy(pos, box, p, gp)
+                    return e
+            elif is_ewald_family:
+                energy_fn = direct_energy
+            else:
+                energy_fn = direct_energy
+            modules.append(CompiledForce(
+                name=self.getName(), force_group=self.getForceGroup(),
+                params=params, energy_fn=energy_fn, uses_pbc=periodic,
+                bonded_particles=tuple(self._bonded_particles()),
+                global_defaults=self._default_global_values()))
+        if is_ewald_family and not merged_recip:
+            grp = self._recip_group
+            modules.append(CompiledForce(
+                name=self.getName() + "_reciprocal", force_group=grp,
+                params=params, energy_fn=reciprocal_energy, uses_pbc=True,
+                global_defaults=self._default_global_values()))
+        elif is_ewald_family and merged_recip and not include_direct:
+            modules.append(CompiledForce(
+                name=self.getName(), force_group=self.getForceGroup(),
+                params=params, energy_fn=reciprocal_energy, uses_pbc=True,
+                global_defaults=self._default_global_values()))
+        return modules

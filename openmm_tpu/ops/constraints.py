@@ -1,0 +1,382 @@
+"""Holonomic distance constraints: SETTLE (analytic 3-site clusters) and CCMA
+(matrix-accelerated SHAKE for general constraint networks).
+
+Counterparts of the reference's constraint stack
+(platforms/reference/src/SimTKReference/ReferenceSETTLEAlgorithm.cpp — the
+Miyamoto & Kollman SETTLE algorithm; ReferenceCCMAAlgorithm.cpp — constraint-
+coupling matrix inverted at setup, iteration to tolerance; cluster
+identification per platforms/common/src/IntegrationUtilities.cpp:132-199).
+
+TPU design: SETTLE is a closed-form per-cluster computation -> one vmap over
+all clusters (ideal VPU work). CCMA's sparse inverse is precomputed with numpy
+at setup, sparsified to a fixed row width, and applied as gathers inside a
+fixed-iteration lax loop (static shapes, no data-dependent exit).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Cluster identification (host-side)
+# ---------------------------------------------------------------------------
+def partition_constraints(constraints, masses):
+    """Split constraints into SETTLE 3-atom triangle clusters and the rest.
+
+    Returns (settle_clusters, ccma_constraints):
+      settle_clusters: list of (a0, a1, a2, d01, d12) with d(a0,a1)==d(a0,a2)
+      ccma_constraints: remaining (i, j, d)
+    """
+    n_cons = len(constraints)
+    by_atom = {}
+    for ci, (i, j, d) in enumerate(constraints):
+        by_atom.setdefault(i, []).append(ci)
+        by_atom.setdefault(j, []).append(ci)
+
+    used = [False] * n_cons
+    settle = []
+    # find triangles: three constraints over exactly three atoms
+    for ci in range(n_cons):
+        if used[ci]:
+            continue
+        i, j, d = constraints[ci]
+        # look for an atom k constrained to both i and j
+        partners_i = {constraints[c][0] if constraints[c][1] == i else constraints[c][1]: c
+                      for c in by_atom.get(i, []) if not used[c] and c != ci}
+        partners_j = {constraints[c][0] if constraints[c][1] == j else constraints[c][1]: c
+                      for c in by_atom.get(j, []) if not used[c] and c != ci}
+        common = set(partners_i) & set(partners_j)
+        placed = False
+        for k in sorted(common):
+            c_ik = partners_i[k]
+            c_jk = partners_j[k]
+            # triangle (i, j, k); pick the central atom: the one whose two
+            # constraint distances are equal and whose partners' masses match
+            tri = {(i, j): d,
+                   tuple(sorted((i, k))): constraints[c_ik][2],
+                   tuple(sorted((j, k))): constraints[c_jk][2]}
+
+            def dist(a, b):
+                return tri[tuple(sorted((a, b)))]
+
+            for center, o1, o2 in ((i, j, k), (j, i, k), (k, i, j)):
+                # atoms in the cluster must not take part in other constraints
+                if any(not used[c] and c not in (ci, c_ik, c_jk)
+                       for a in (i, j, k) for c in by_atom.get(a, [])):
+                    continue
+                if (abs(dist(center, o1) - dist(center, o2)) < 1e-10
+                        and abs(masses[o1] - masses[o2]) < 1e-10
+                        and masses[center] > 0 and masses[o1] > 0):
+                    settle.append((center, o1, o2, dist(center, o1), dist(o1, o2)))
+                    used[ci] = used[c_ik] = used[c_jk] = True
+                    placed = True
+                    break
+            if placed:
+                break
+    ccma = [constraints[c] for c in range(n_cons) if not used[c]]
+    return settle, ccma
+
+
+# ---------------------------------------------------------------------------
+# SETTLE
+# ---------------------------------------------------------------------------
+def _settle_one(apos0, apos1, apos2, p0, p1, p2, m0, m1, m2, d1, d2):
+    """One SETTLE cluster: reference positions apos*, proposed positions p*,
+    returns constrained proposed positions. Direct implementation of the
+    Miyamoto & Kollman (1992) algorithm as realized in
+    ReferenceSETTLEAlgorithm::apply."""
+    xp0 = p0 - apos0
+    xp1 = p1 - apos1
+    xp2 = p2 - apos2
+    b0 = apos1 - apos0
+    c0 = apos2 - apos0
+    inv_total = 1.0 / (m0 + m1 + m2)
+    com = (xp0 * m0 + (b0 + xp1) * m1 + (c0 + xp2) * m2) * inv_total
+    a1v = xp0 - com
+    b1v = b0 + xp1 - com
+    c1v = c0 + xp2 - com
+    # orthonormal frame: Z along b0 x c0, X along a1 x Z, Y = Z x X
+    zd = jnp.cross(b0, c0)
+    xd = jnp.cross(a1v, zd)
+    yd = jnp.cross(zd, xd)
+    ex = xd / jnp.linalg.norm(xd)
+    ey = yd / jnp.linalg.norm(yd)
+    ez = zd / jnp.linalg.norm(zd)
+
+    def to_frame(v):
+        return jnp.stack([v @ ex, v @ ey, v @ ez])
+
+    b0d = to_frame(b0)
+    c0d = to_frame(c0)
+    a1d = to_frame(a1v)
+    b1d = to_frame(b1v)
+    c1d = to_frame(c1v)
+
+    rc = 0.5 * d2
+    rb = jnp.sqrt(d1 * d1 - rc * rc)
+    ra = rb * (m1 + m2) * inv_total
+    rb = rb - ra
+    sinphi = a1d[2] / ra
+    cosphi = jnp.sqrt(1.0 - sinphi * sinphi)
+    sinpsi = (b1d[2] - c1d[2]) / (2.0 * rc * cosphi)
+    cospsi = jnp.sqrt(1.0 - sinpsi * sinpsi)
+
+    ya2d = ra * cosphi
+    xb2d = -rc * cospsi
+    yb2d = -rb * cosphi - rc * sinpsi * sinphi
+    yc2d = -rb * cosphi + rc * sinpsi * sinphi
+    xb2d2 = xb2d * xb2d
+    hh2 = 4.0 * xb2d2 + (yb2d - yc2d) ** 2 + (b1d[2] - c1d[2]) ** 2
+    deltx = 2.0 * xb2d + jnp.sqrt(4.0 * xb2d2 - hh2 + d2 * d2)
+    xb2d = xb2d - 0.5 * deltx
+
+    alpha = xb2d * (b0d[0] - c0d[0]) + b0d[1] * yb2d + c0d[1] * yc2d
+    beta = xb2d * (c0d[1] - b0d[1]) + b0d[0] * yb2d + c0d[0] * yc2d
+    gamma = b0d[0] * b1d[1] - b1d[0] * b0d[1] + c0d[0] * c1d[1] - c1d[0] * c0d[1]
+    al2be2 = alpha * alpha + beta * beta
+    sintheta = (alpha * gamma
+                - beta * jnp.sqrt(jnp.maximum(al2be2 - gamma * gamma, 0.0))) / al2be2
+    costheta = jnp.sqrt(1.0 - sintheta * sintheta)
+
+    a3d = jnp.stack([-ya2d * sintheta, ya2d * costheta, a1d[2]])
+    b3d = jnp.stack([xb2d * costheta - yb2d * sintheta,
+                     xb2d * sintheta + yb2d * costheta, b1d[2]])
+    c3d = jnp.stack([-xb2d * costheta - yc2d * sintheta,
+                     -xb2d * sintheta + yc2d * costheta, c1d[2]])
+
+    frame = jnp.stack([ex, ey, ez])  # rows
+
+    def from_frame(v):
+        return v @ frame
+
+    a3 = from_frame(a3d)
+    b3 = from_frame(b3d)
+    c3 = from_frame(c3d)
+    new_p0 = com + a3 + apos0
+    new_p1 = com + b3 - b0 + apos1
+    new_p2 = com + c3 - c0 + apos2
+    return new_p0, new_p1, new_p2
+
+
+_settle_batch = jax.vmap(_settle_one, in_axes=(0,) * 9 + (0, 0))
+
+
+def make_settle(settle_clusters, masses, dtype):
+    """Returns (apply_positions, apply_velocities) for all SETTLE clusters."""
+    if not settle_clusters:
+        return None
+    arr = np.asarray([(c[0], c[1], c[2]) for c in settle_clusters], np.int32)
+    d1 = np.asarray([c[3] for c in settle_clusters])
+    d2 = np.asarray([c[4] for c in settle_clusters])
+    m = np.asarray(masses)
+    idx = jnp.asarray(arr)
+    d1j = jnp.asarray(d1.astype(dtype))
+    d2j = jnp.asarray(d2.astype(dtype))
+    m0 = jnp.asarray(m[arr[:, 0]].astype(dtype))
+    m1 = jnp.asarray(m[arr[:, 1]].astype(dtype))
+    m2 = jnp.asarray(m[arr[:, 2]].astype(dtype))
+
+    def apply_positions(ref_pos, new_pos):
+        a0 = ref_pos[idx[:, 0]]
+        a1 = ref_pos[idx[:, 1]]
+        a2 = ref_pos[idx[:, 2]]
+        p0 = new_pos[idx[:, 0]]
+        p1 = new_pos[idx[:, 1]]
+        p2 = new_pos[idx[:, 2]]
+        n0, n1, n2 = _settle_batch(a0, a1, a2, p0, p1, p2, m0, m1, m2, d1j, d2j)
+        out = new_pos.at[idx[:, 0]].set(n0)
+        out = out.at[idx[:, 1]].set(n1)
+        out = out.at[idx[:, 2]].set(n2)
+        return out
+
+    def apply_velocities(pos, vel):
+        """Exact velocity constraints per cluster: solve the 3x3 system
+        (J M^-1 J^T) lambda = -J v over bond directions (the linear system
+        ReferenceSETTLEAlgorithm::applyToVelocities solves)."""
+        a0 = pos[idx[:, 0]]
+        a1 = pos[idx[:, 1]]
+        a2 = pos[idx[:, 2]]
+        v0 = vel[idx[:, 0]]
+        v1 = vel[idx[:, 1]]
+        v2 = vel[idx[:, 2]]
+        # bond unit vectors: (0-1), (0-2), (1-2)
+        eab = a1 - a0
+        eac = a2 - a0
+        ebc = a2 - a1
+        eab = eab / jnp.linalg.norm(eab, axis=-1, keepdims=True)
+        eac = eac / jnp.linalg.norm(eac, axis=-1, keepdims=True)
+        ebc = ebc / jnp.linalg.norm(ebc, axis=-1, keepdims=True)
+        w0 = 1.0 / m0
+        w1 = 1.0 / m1
+        w2 = 1.0 / m2
+        # J v (relative velocities along bonds)
+        g = jnp.stack([
+            jnp.sum(eab * (v1 - v0), -1),
+            jnp.sum(eac * (v2 - v0), -1),
+            jnp.sum(ebc * (v2 - v1), -1)], -1)  # (C,3)
+        dotabac = jnp.sum(eab * eac, -1)
+        dotabbc = jnp.sum(eab * ebc, -1)
+        dotacbc = jnp.sum(eac * ebc, -1)
+        A = jnp.stack([
+            jnp.stack([w0 + w1, w0 * dotabac, -w1 * dotabbc], -1),
+            jnp.stack([w0 * dotabac, w0 + w2, w2 * dotacbc], -1),
+            jnp.stack([-w1 * dotabbc, w2 * dotacbc, w1 + w2], -1)], -2)  # (C,3,3)
+        lam = _solve3(A, -g)
+        dv0 = (-lam[:, 0:1] * eab - lam[:, 1:2] * eac) * w0[:, None]
+        dv1 = (lam[:, 0:1] * eab - lam[:, 2:3] * ebc) * w1[:, None]
+        dv2 = (lam[:, 1:2] * eac + lam[:, 2:3] * ebc) * w2[:, None]
+        out = vel.at[idx[:, 0]].add(-dv0)
+        out = out.at[idx[:, 1]].add(-dv1)
+        out = out.at[idx[:, 2]].add(-dv2)
+        return out
+
+    return apply_positions, apply_velocities
+
+
+def _solve3(A, b):
+    """Batched closed-form 3x3 solve via adjugate (no LU, TPU-friendly)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    inv_det = 1.0 / det
+    x0 = (c00 * b[..., 0] + c10 * b[..., 1] + c20 * b[..., 2]) * inv_det
+    x1 = (c01 * b[..., 0] + c11 * b[..., 1] + c21 * b[..., 2]) * inv_det
+    x2 = (c02 * b[..., 0] + c12 * b[..., 1] + c22 * b[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], -1)
+
+
+# ---------------------------------------------------------------------------
+# CCMA
+# ---------------------------------------------------------------------------
+def _ccma_coupling_matrix(cons, masses, angles):
+    """Constraint-coupling matrix K (ReferenceCCMAAlgorithm ctor): K[c][c'] for
+    constraints sharing an atom, using equilibrium cosines from constrained
+    triangles or harmonic-angle equilibria."""
+    n = len(cons)
+    K = np.eye(n)
+    inv_m = np.array([0.0 if m == 0 else 1.0 / m for m in masses])
+    dist = {}
+    for (i, j, d) in cons:
+        dist[(min(i, j), max(i, j))] = d
+    angle_map = {}
+    for (i, j, k, theta0) in angles:  # j is the central atom
+        angle_map[(min(i, k), j, max(i, k))] = theta0
+    by_atom = {}
+    for ci, (i, j, d) in enumerate(cons):
+        by_atom.setdefault(i, []).append(ci)
+        by_atom.setdefault(j, []).append(ci)
+    for shared, clist in by_atom.items():
+        for a_pos in range(len(clist)):
+            for b_pos in range(len(clist)):
+                if a_pos == b_pos:
+                    continue
+                ca, cb = clist[a_pos], clist[b_pos]
+                ia, ja, da = cons[ca]
+                ib, jb, db = cons[cb]
+                oa = ja if ia == shared else ia     # other atom of ca
+                ob = jb if ib == shared else ib     # other atom of cb
+                # cos of angle oa-shared-ob
+                key = (min(oa, ob), max(oa, ob))
+                if key in dist:
+                    d3 = dist[key]
+                    cos_t = (da * da + db * db - d3 * d3) / (2 * da * db)
+                elif (min(oa, ob), shared, max(oa, ob)) in angle_map:
+                    cos_t = math.cos(angle_map[(min(oa, ob), shared, max(oa, ob))])
+                else:
+                    continue
+                scale = inv_m[shared] / (inv_m[ia] + inv_m[ja])
+                # sign: +cos if constraint directions both point away from the
+                # shared atom or both toward it as ordered; CCMA convention:
+                sign = 1.0 if (ia == shared) == (ib == shared) else -1.0
+                K[ca, cb] = sign * scale * cos_t
+    return K
+
+
+def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=150,
+              sparsify_cutoff=0.02):
+    """Returns (apply_positions, apply_velocities) for general constraints."""
+    if not cons:
+        return None
+    n = len(cons)
+    idx = np.asarray([(c[0], c[1]) for c in cons], np.int32)
+    d0 = np.asarray([c[2] for c in cons])
+    inv_m = np.array([0.0 if m == 0 else 1.0 / m for m in masses])
+    red_m = 1.0 / (2.0 * (inv_m[idx[:, 0]] + inv_m[idx[:, 1]]))
+
+    K = _ccma_coupling_matrix(cons, masses, angles)
+    K_inv = np.linalg.inv(K)
+    K_inv[np.abs(K_inv) < sparsify_cutoff] = 0.0
+    # fixed-width sparse rows
+    width = max(1, int((np.abs(K_inv) > 0).sum(axis=1).max()))
+    cols = np.zeros((n, width), np.int32)
+    vals = np.zeros((n, width))
+    for r in range(n):
+        nz = np.nonzero(K_inv[r])[0]
+        cols[r, :len(nz)] = nz
+        vals[r, :len(nz)] = K_inv[r, nz]
+
+    idx_j = jnp.asarray(idx)
+    d0_j = jnp.asarray(d0.astype(dtype))
+    red_m_j = jnp.asarray(red_m.astype(dtype))
+    inv_m_j = jnp.asarray(inv_m.astype(dtype))
+    cols_j = jnp.asarray(cols)
+    vals_j = jnp.asarray(vals.astype(dtype))
+    w0 = inv_m_j[idx[:, 0]]
+    w1 = inv_m_j[idx[:, 1]]
+
+    def sparse_apply(delta):
+        return jnp.sum(vals_j * delta[cols_j], axis=1)
+
+    def apply_positions(ref_pos, new_pos):
+        """Iterate: lambda = Kinv @ violation, apply along REFERENCE directions
+        (the CCMA/SHAKE linearization)."""
+        r_ref = ref_pos[idx_j[:, 0]] - ref_pos[idx_j[:, 1]]   # (C,3)
+
+        def body(carry, _):
+            pos = carry
+            rp = pos[idx_j[:, 0]] - pos[idx_j[:, 1]]
+            rp2 = jnp.sum(rp * rp, axis=-1)
+            diff = rp2 - d0_j * d0_j
+            rrpr = jnp.sum(r_ref * rp, axis=-1)
+            g = diff * red_m_j / rrpr
+            lam = sparse_apply(g)
+            dr = r_ref * lam[:, None]
+            pos = pos.at[idx_j[:, 0]].add(-dr * w0[:, None])
+            pos = pos.at[idx_j[:, 1]].add(dr * w1[:, None])
+            return pos, None
+
+        out, _ = jax.lax.scan(body, new_pos, None, length=max_iter)
+        return out
+
+    def apply_velocities(pos, vel):
+        r = pos[idx_j[:, 0]] - pos[idx_j[:, 1]]
+
+        def body(carry, _):
+            v = carry
+            rv = jnp.sum(r * (v[idx_j[:, 0]] - v[idx_j[:, 1]]), axis=-1)
+            r2 = jnp.sum(r * r, axis=-1)
+            g = rv * red_m_j * 2.0 / r2
+            lam = sparse_apply(g)
+            dr = r * lam[:, None]
+            v = v.at[idx_j[:, 0]].add(-dr * w0[:, None])
+            v = v.at[idx_j[:, 1]].add(dr * w1[:, None])
+            return v, None
+
+        out, _ = jax.lax.scan(body, vel, None, length=max_iter)
+        return out
+
+    return apply_positions, apply_velocities

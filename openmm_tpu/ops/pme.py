@@ -1,0 +1,279 @@
+"""Smooth Particle-Mesh Ewald and classic Ewald reciprocal space, TPU-style.
+
+Replaces the reference's PME pipeline (charge spread -> FFT -> convolution ->
+FFT^-1 -> force interpolation: platforms/common/src/kernels/pme.cc:64-616,
+ReferencePME.cpp:58-877, cuFFT / generated Stockham kernels in
+CudaFFT3D.cpp:187-202) with one differentiable jnp program: B-spline scatter-add
+spread, jnp.fft.fftn (XLA batched FFT), k-space convolution, and forces via
+jax.grad (the adjoint of the spread is exactly the force interpolation pass).
+
+Parameter auto-selection matches NonbondedForceImpl::calcEwaldParameters /
+calcPMEParameters (openmmapi/src/NonbondedForceImpl.cpp:144-234).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import ONE_4PI_EPS0
+
+SQRT_PI = math.sqrt(math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Parameter selection (host-side, matches reference formulas)
+# ---------------------------------------------------------------------------
+def ewald_alpha(cutoff, tol):
+    return (1.0 / cutoff) * math.sqrt(-math.log(2.0 * tol))
+
+
+def ewald_kmax(box_widths, alpha, tol):
+    """kmax per axis: smallest k with error <= tol, then bumped to odd
+    (NonbondedForceImpl::calcEwaldParameters)."""
+    out = []
+    for width in box_widths:
+        def err(k):
+            temp = k * math.pi / (width * alpha)
+            return tol - 0.05 * math.sqrt(width * alpha) * k * math.exp(-temp * temp)
+        k = 10
+        if err(k) > 0:
+            while err(k) > 0 and k > 0:
+                k -= 1
+            k += 1
+        else:
+            while err(k) < 0:
+                k += 1
+        if k % 2 == 0:
+            k += 1
+        out.append(k)
+    return out
+
+
+def pme_grid_size(box_widths, alpha, tol, lj=False):
+    sizes = []
+    for width in box_widths:
+        if lj:
+            s = int(math.ceil(alpha * width / (3 * tol ** 0.2)))
+        else:
+            s = int(math.ceil(2 * alpha * width / (3 * tol ** 0.2)))
+        sizes.append(max(s, 6))
+    return [find_legal_fft_dim(s) for s in sizes]
+
+
+def find_legal_fft_dim(minimum):
+    """Smallest 2,3,5,7-smooth integer >= minimum (XLA FFT is fastest on
+    smooth sizes; same policy as CudaFFT3D::findLegalDimension)."""
+    n = int(minimum)
+    while True:
+        m = n
+        for f in (2, 3, 5, 7):
+            while m % f == 0:
+                m //= f
+        if m == 1:
+            return n
+        n += 1
+
+
+# ---------------------------------------------------------------------------
+# Cardinal B-splines
+# ---------------------------------------------------------------------------
+def bspline_weights(t, order):
+    """M_order(t + j) for j = 0..order-1, given fractional offsets t in [0,1).
+
+    t: (...,) array. Returns (..., order) weights that sum to 1.
+    Uses the stable recursion M_n(x) = (x M_{n-1}(x) + (n-x) M_{n-1}(x-1))/(n-1).
+    """
+    # data[j] approximates M_k evaluated at the grid offsets; build iteratively
+    # following the same recurrence the reference kernels use (pme.cc:64).
+    shape = t.shape
+    w = [jnp.zeros(shape, t.dtype) for _ in range(order)]
+    w[0] = 1.0 - t
+    w[1] = t
+    for k in range(3, order + 1):
+        div = 1.0 / (k - 1)
+        new = [None] * order
+        new[k - 1] = div * t * w[k - 2]
+        for j in range(1, k - 1):
+            new[k - 1 - j] = div * ((t + j) * w[k - 2 - j] + (k - j - t) * w[k - 1 - j])
+        new[0] = div * (1.0 - t) * w[0]
+        for j in range(k):
+            w[j] = new[j]
+    return jnp.stack(w, axis=-1)  # (..., order); w[..., j] = weight of gridpoint floor(u)-?
+
+
+def _bspline_int_values(order):
+    """M_order(k) at integer k = 1..order-1, computed with the same recursion
+    as bspline_weights at t=0 so both conventions always agree.
+    Weight identity: bspline_weights(0)[j] = M_order(order-1-j)."""
+    t = np.zeros(1)
+    w = [np.zeros(1) for _ in range(order)]
+    w[0] = 1.0 - t
+    w[1] = t.copy()
+    for k in range(3, order + 1):
+        div = 1.0 / (k - 1)
+        new = [None] * order
+        new[k - 1] = div * t * w[k - 2]
+        for j in range(1, k - 1):
+            new[k - 1 - j] = div * ((t + j) * w[k - 2 - j] + (k - j - t) * w[k - 1 - j])
+        new[0] = div * (1.0 - t) * w[0]
+        for j in range(k):
+            w[j] = new[j]
+    # w[j] = M_order(order-1-j); M_order(m) = w[order-1-m]
+    return np.array([w[order - 1 - m][0] for m in range(1, order)])
+
+
+def _bspline_moduli(grid_size, order):
+    """|b(m)|^2 per axis (host-side numpy), counterpart of the moduli setup in
+    ReferencePME.cpp / pme.cc. Near-zeros (even order at Nyquist) are patched
+    by averaging neighbors, the standard fix."""
+    mvals = _bspline_int_values(order)  # M_order(1..order-1)
+    m = np.arange(grid_size)
+    k = np.arange(1, order)
+    phases = np.exp(2j * np.pi * np.outer(m, k) / grid_size)
+    denom = phases @ mvals
+    mag2 = np.abs(denom) ** 2
+    bsq = 1.0 / np.maximum(mag2, 1e-300)
+    bad = mag2 < 1e-10
+    if bad.any():
+        for i in np.where(bad)[0]:
+            bsq[i] = 0.5 * (bsq[(i - 1) % grid_size] + bsq[(i + 1) % grid_size])
+    return bsq
+
+
+def make_pme_recip_data(grid, order, dtype=np.float64):
+    """Precompute per-axis |b|^2 moduli. Returns dict of numpy arrays."""
+    nx, ny, nz = grid
+    return {
+        "bsq_x": _bspline_moduli(nx, order).astype(dtype),
+        "bsq_y": _bspline_moduli(ny, order).astype(dtype),
+        "bsq_z": _bspline_moduli(nz, order).astype(dtype),
+    }
+
+
+def spread_charges(pos, charges, box_inv, grid, order, dtype):
+    """Scatter B-spline-weighted charges onto the (nx, ny, nz) grid.
+
+    box_inv: (3,3) inverse of box matrix (rows are reciprocal vectors, no 2pi).
+    Differentiable: jax.grad through the scatter gives the interpolation
+    (gather) used for forces.
+    """
+    nx, ny, nz = grid
+    sizes = jnp.array([nx, ny, nz], dtype)
+    # fractional coordinates in [0,1)
+    frac = pos @ box_inv.astype(pos.dtype)
+    frac = frac - jnp.floor(frac)
+    u = frac * sizes
+    base = jnp.floor(u)
+    t = u - base                                # (N,3) in [0,1)
+    w = bspline_weights(t, order)               # (N,3,order)
+    base = base.astype(jnp.int32)
+
+    offs = jnp.arange(order, dtype=jnp.int32)
+    # weight w[..., j] = M_order(t + order-1-j) belongs to grid point
+    # base + j - (order-1) (see bspline_weights); wrap modulo the grid
+    gx = jnp.mod(base[:, 0:1] + offs[None, :] - (order - 1), nx)
+    gy = jnp.mod(base[:, 1:2] + offs[None, :] - (order - 1), ny)
+    gz = jnp.mod(base[:, 2:3] + offs[None, :] - (order - 1), nz)
+    val = (charges[:, None, None, None]
+           * w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :])
+    flat_idx = ((gx[:, :, None, None] * ny + gy[:, None, :, None]) * nz
+                + gz[:, None, None, :])
+    grid_flat = jnp.zeros(nx * ny * nz, dtype=dtype)
+    grid_flat = grid_flat.at[flat_idx.reshape(-1)].add(val.reshape(-1).astype(dtype))
+    return grid_flat.reshape(nx, ny, nz)
+
+
+def _k_vectors(grid, box_inv, dtype):
+    """Reciprocal vectors m~ (no 2pi) for each FFT bin, with fftfreq wrapping."""
+    nx, ny, nz = grid
+    mx = jnp.fft.fftfreq(nx, 1.0 / nx).astype(dtype)
+    my = jnp.fft.fftfreq(ny, 1.0 / ny).astype(dtype)
+    mz = jnp.fft.fftfreq(nz, 1.0 / nz).astype(dtype)
+    bi = box_inv.astype(dtype)
+    # positions use frac = pos @ box_inv, so S(m) phases are pos·(Binv @ m):
+    # the reciprocal vector for integer triple m is a combination of Binv COLUMNS
+    kx = (mx[:, None, None, None] * bi.T[None, None, None, 0, :])
+    ky = (my[None, :, None, None] * bi.T[None, None, None, 1, :])
+    kz = (mz[None, None, :, None] * bi.T[None, None, None, 2, :])
+    return kx + ky + kz  # (nx, ny, nz, 3)
+
+
+def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,
+                          bsq_z, accum_dtype, coulomb=True, c6s=None):
+    """Reciprocal-space PME energy.
+
+    For coulomb: E = f/(2 pi V) sum_{m != 0} exp(-pi^2 m^2/a^2)/m^2 B(m) |FQ|^2.
+    For LJ dispersion (c6s given): Essmann's dispersion kernel with geometric
+    C6 combination (theory 02_standard_forces.rst LJPME section).
+    """
+    from . import geometry as geom
+    dtype = pos.dtype
+    nx, ny, nz = grid
+    box_inv = geom.box_inverse(box)
+    vol = geom.box_volume(box)
+    q = charges if coulomb else c6s
+    Q = spread_charges(pos, q, box_inv, grid, order, dtype)
+    FQ = jnp.fft.fftn(Q)
+    sq = (FQ * jnp.conj(FQ)).real.astype(accum_dtype)
+    kvec = _k_vectors(grid, box_inv, accum_dtype)
+    m2 = jnp.sum(kvec * kvec, axis=-1)
+    B = (bsq_x[:, None, None] * bsq_y[None, :, None] * bsq_z[None, None, :]).astype(accum_dtype)
+    if coulomb:
+        m2_safe = jnp.where(m2 > 0, m2, 1.0)
+        kernel = jnp.exp(-(jnp.pi ** 2) * m2_safe / (alpha ** 2)) / m2_safe
+        kernel = jnp.where(m2 > 0, kernel, 0.0)
+        e = ONE_4PI_EPS0 / (2.0 * jnp.pi * vol) * jnp.sum(kernel * B * sq)
+    else:
+        # dispersion kernel f(b) with b = pi*m/alpha:
+        # E = (pi^1.5 a^3 / 2V) sum_m f(b) B(m) |FC6|^2, f(b) per Essmann eq. 5.2
+        m_abs = jnp.sqrt(m2)
+        b = jnp.pi * m_abs / alpha
+        b2 = b * b
+        expfac = jnp.exp(-b2)
+        erfcfac = jax.scipy.special.erfc(b)
+        f = ((1.0 - 2.0 * b2) * expfac + 2.0 * b2 * b * SQRT_PI * erfcfac) / 3.0
+        e = (jnp.pi ** 1.5 * alpha ** 3 / (2.0 * vol)) * jnp.sum(f * B * sq)
+        # remove the m=0 self-term of the dispersion sum: f(0)=1/3 contributes
+        # (pi^1.5 a^3/2V) * (1/3) * (sum c6)^2; the reference folds this into
+        # its analytic corrections — keep it: it is part of the LJPME energy.
+    return e
+
+
+def ewald_reciprocal_energy(pos, charges, box, kmax, alpha, accum_dtype):
+    """Exact structure-factor Ewald sum over a symmetric k-box (classic Ewald,
+    method used by the reference for NonbondedForce::Ewald)."""
+    from . import geometry as geom
+    kx, ky, kz = kmax
+    box_inv = geom.box_inverse(box).astype(accum_dtype)
+    vol = geom.box_volume(box).astype(accum_dtype)
+    mx = np.arange(-(kx - 1), kx)
+    my = np.arange(-(ky - 1), ky)
+    mz = np.arange(-(kz - 1), kz)
+    M = np.stack(np.meshgrid(mx, my, mz, indexing="ij"), axis=-1).reshape(-1, 3)
+    M = M[np.any(M != 0, axis=1)]
+    M = jnp.asarray(M, dtype=accum_dtype)
+    kvecs = 2.0 * jnp.pi * (M @ box_inv.T)                   # (K,3): rows Binv@m
+    k2 = jnp.sum(kvecs * kvecs, axis=-1)
+    phase = pos.astype(accum_dtype) @ kvecs.T                # (N,K)
+    qc = charges.astype(accum_dtype)
+    s_re = jnp.sum(qc[:, None] * jnp.cos(phase), axis=0)
+    s_im = jnp.sum(qc[:, None] * jnp.sin(phase), axis=0)
+    s2 = s_re * s_re + s_im * s_im
+    kernel = jnp.exp(-k2 / (4.0 * alpha ** 2)) / k2
+    return ONE_4PI_EPS0 * (2.0 * jnp.pi / vol) * jnp.sum(kernel * s2)
+
+
+def ewald_self_energy(charges, alpha, accum_dtype):
+    q = charges.astype(accum_dtype)
+    return -ONE_4PI_EPS0 * alpha / SQRT_PI * jnp.sum(q * q)
+
+
+def dispersion_self_energy(c6s, alpha, vol, accum_dtype):
+    """LJPME analytic self/background corrections: -a^6/12 sum c6_ii... kept
+    minimal: self term -alpha^6/12 * sum(c6_i^2-ish) is handled by the caller
+    through exclusion math; here only the standard self term."""
+    c6 = c6s.astype(accum_dtype)
+    return (alpha ** 6 / 12.0) * jnp.sum(c6 * c6)
