@@ -73,6 +73,10 @@ class HarmonicBondForce(Force, _PeriodicMixin):
         idx = arr[:, :2].astype(np.int32)
         return idx, {"r0": arr[:, 2].astype(dtype), "k": arr[:, 3].astype(dtype)}
 
+    def _pack_params(self, cfg):
+        _, params = self._pack(cfg.dtype)
+        return {k: jnp.asarray(v) for k, v in params.items()}
+
     def _compile(self, system, cfg):
         idx, params = self._pack(cfg.dtype)
         idx = jnp.asarray(idx)
@@ -125,15 +129,20 @@ class HarmonicAngleForce(Force, _PeriodicMixin):
     def _bonded_particles(self):
         return [(a[0], a[1]) for a in self._angles] + [(a[1], a[2]) for a in self._angles]
 
+    def _pack_params(self, cfg):
+        if self._angles:
+            arr = np.asarray(self._angles, np.float64)
+            return {"theta0": jnp.asarray(arr[:, 3].astype(cfg.dtype)),
+                    "k": jnp.asarray(arr[:, 4].astype(cfg.dtype))}
+        return {"theta0": jnp.zeros(0, cfg.dtype), "k": jnp.zeros(0, cfg.dtype)}
+
     def _compile(self, system, cfg):
         if self._angles:
             arr = np.asarray(self._angles, np.float64)
             idx = jnp.asarray(arr[:, :3].astype(np.int32))
-            params = {"theta0": jnp.asarray(arr[:, 3].astype(cfg.dtype)),
-                      "k": jnp.asarray(arr[:, 4].astype(cfg.dtype))}
         else:
             idx = jnp.zeros((0, 3), jnp.int32)
-            params = {"theta0": jnp.zeros(0, cfg.dtype), "k": jnp.zeros(0, cfg.dtype)}
+        params = self._pack_params(cfg)
         periodic = self._periodic
 
         def energy_fn(pos, box, p, gp):
@@ -192,17 +201,22 @@ class PeriodicTorsionForce(Force, _PeriodicMixin):
             out += [(t[0], t[1]), (t[1], t[2]), (t[2], t[3])]
         return out
 
+    def _pack_params(self, cfg):
+        if self._torsions:
+            arr = np.asarray(self._torsions, np.float64)
+            return {"n": jnp.asarray(arr[:, 4].astype(cfg.dtype)),
+                    "phase": jnp.asarray(arr[:, 5].astype(cfg.dtype)),
+                    "k": jnp.asarray(arr[:, 6].astype(cfg.dtype))}
+        return {"n": jnp.zeros(0, cfg.dtype), "phase": jnp.zeros(0, cfg.dtype),
+                "k": jnp.zeros(0, cfg.dtype)}
+
     def _compile(self, system, cfg):
         if self._torsions:
             arr = np.asarray(self._torsions, np.float64)
             idx = jnp.asarray(arr[:, :4].astype(np.int32))
-            params = {"n": jnp.asarray(arr[:, 4].astype(cfg.dtype)),
-                      "phase": jnp.asarray(arr[:, 5].astype(cfg.dtype)),
-                      "k": jnp.asarray(arr[:, 6].astype(cfg.dtype))}
         else:
             idx = jnp.zeros((0, 4), jnp.int32)
-            params = {"n": jnp.zeros(0, cfg.dtype), "phase": jnp.zeros(0, cfg.dtype),
-                      "k": jnp.zeros(0, cfg.dtype)}
+        params = self._pack_params(cfg)
         periodic = self._periodic
 
         def energy_fn(pos, box, p, gp):
@@ -258,14 +272,19 @@ class RBTorsionForce(Force, _PeriodicMixin):
             out += [(t[0], t[1]), (t[1], t[2]), (t[2], t[3])]
         return out
 
+    def _pack_params(self, cfg):
+        if self._torsions:
+            arr = np.asarray(self._torsions, np.float64)
+            return {"c": jnp.asarray(arr[:, 4:10].astype(cfg.dtype))}
+        return {"c": jnp.zeros((0, 6), cfg.dtype)}
+
     def _compile(self, system, cfg):
         if self._torsions:
             arr = np.asarray(self._torsions, np.float64)
             idx = jnp.asarray(arr[:, :4].astype(np.int32))
-            params = {"c": jnp.asarray(arr[:, 4:10].astype(cfg.dtype))}
         else:
             idx = jnp.zeros((0, 4), jnp.int32)
-            params = {"c": jnp.zeros((0, 6), cfg.dtype)}
+        params = self._pack_params(cfg)
         periodic = self._periodic
 
         def energy_fn(pos, box, p, gp):
@@ -345,6 +364,14 @@ class CMAPTorsionForce(Force, _PeriodicMixin):
             out += [(a1, a2), (a2, a3), (a3, a4), (b1, b2), (b2, b3), (b3, b4)]
         return out
 
+    def _pack_params(self, cfg):
+        size = self._maps[0][0]
+        coeffs = np.stack([
+            bicubic_coefficients_periodic(
+                np.asarray(energy, np.float64).reshape(size, size, order="F"))
+            for _, energy in self._maps])  # (n_maps, size, size, 4, 4)
+        return {"coeffs": jnp.asarray(coeffs.astype(cfg.dtype))}
+
     def _compile(self, system, cfg):
         n_t = len(self._torsions)
         if n_t == 0:
@@ -358,15 +385,11 @@ class CMAPTorsionForce(Force, _PeriodicMixin):
             # groups; for now require uniform size (standard CHARMM usage)
             raise OpenMMException("CMAP maps of differing sizes not yet supported")
         size = sizes.pop()
-        coeffs = np.stack([
-            bicubic_coefficients_periodic(
-                np.asarray(energy, np.float64).reshape(size, size, order="F"))
-            for _, energy in self._maps])  # (n_maps, size, size, 4, 4)
         arr = np.asarray(self._torsions, np.int64)
         map_idx = jnp.asarray(arr[:, 0].astype(np.int32))
         idx_a = jnp.asarray(arr[:, 1:5].astype(np.int32))
         idx_b = jnp.asarray(arr[:, 5:9].astype(np.int32))
-        params = {"coeffs": jnp.asarray(coeffs.astype(cfg.dtype))}
+        params = self._pack_params(cfg)
         periodic = self._periodic
         two_pi = 2.0 * np.pi
 

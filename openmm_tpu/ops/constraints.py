@@ -229,9 +229,9 @@ def make_settle(settle_clusters, masses, dtype):
         dv0 = (-lam[:, 0:1] * eab - lam[:, 1:2] * eac) * w0[:, None]
         dv1 = (lam[:, 0:1] * eab - lam[:, 2:3] * ebc) * w1[:, None]
         dv2 = (lam[:, 1:2] * eac + lam[:, 2:3] * ebc) * w2[:, None]
-        out = vel.at[idx[:, 0]].add(-dv0)
-        out = out.at[idx[:, 1]].add(-dv1)
-        out = out.at[idx[:, 2]].add(-dv2)
+        out = vel.at[idx[:, 0]].add(dv0)
+        out = out.at[idx[:, 1]].add(dv1)
+        out = out.at[idx[:, 2]].add(dv2)
         return out
 
     return apply_positions, apply_velocities
@@ -299,10 +299,11 @@ def _ccma_coupling_matrix(cons, masses, angles):
                 else:
                     continue
                 scale = inv_m[shared] / (inv_m[ia] + inv_m[ja])
-                # sign: +cos if constraint directions both point away from the
-                # shared atom or both toward it as ordered; CCMA convention:
-                sign = 1.0 if (ia == shared) == (ib == shared) else -1.0
-                K[ca, cb] = sign * scale * cos_t
+                # The normalized Jacobian entry is w_shared*cos(theta)/(wi+wj)
+                # with NO role-dependent sign: the +-1 from same/opposite role
+                # in (i,j) ordering exactly cancels the +-1 from expressing
+                # the geometric angle in constraint direction vectors.
+                K[ca, cb] = scale * cos_t
     return K
 
 

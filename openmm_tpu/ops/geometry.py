@@ -36,8 +36,11 @@ def delta(pos_i, pos_j, box=None):
     return dr
 
 
-def distance(dr, eps=0.0):
-    return jnp.sqrt(jnp.sum(dr * dr, axis=-1) + eps)
+def distance(dr, eps=1e-24):
+    """Norm with a tiny clamp so jax.grad at exactly-coincident points yields
+    zero force instead of NaN (0/0 in d|r|/dr); the correct limit for r0=0
+    harmonic anchors."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(dr * dr, axis=-1), eps))
 
 
 def angle_between(v1, v2):

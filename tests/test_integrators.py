@@ -1,0 +1,183 @@
+"""Integrator tests: NVE energy conservation, thermostat temperature,
+constraint invariants — pattern of tests/TestVerletIntegrator.h:78-132 and
+TestLangevinMiddleIntegrator.h:126,290 (ASSERT_USUALLY_EQUAL_TOL gates)."""
+import math
+
+import numpy as np
+import pytest
+
+import openmm_tpu as mm
+from openmm_tpu import unit as u
+from openmm_tpu.constants import BOLTZ
+
+from helpers import assert_equal_tol, reference_platform
+
+
+def lj_cluster_system(n=8, spacing=0.45):
+    """A small LJ cluster (argon-ish) for NVE tests."""
+    system = mm.System()
+    nb = mm.NonbondedForce()
+    positions = []
+    rng = np.random.RandomState(2)
+    k = 0
+    for i in range(2):
+        for j in range(2):
+            for l in range(2):
+                if k >= n:
+                    break
+                system.addParticle(39.95)
+                nb.addParticle(0.0, 0.3350, 0.996)
+                positions.append(mm.Vec3(i * spacing, j * spacing, l * spacing))
+                k += 1
+    system.addForce(nb)
+    return system, positions
+
+
+def total_energy(ctx):
+    st = ctx.getState(getEnergy=True)
+    return (st.getPotentialEnergy() + st.getKineticEnergy()).value_in_unit(
+        u.kilojoule_per_mole)
+
+
+def test_verlet_energy_conservation():
+    system, positions = lj_cluster_system()
+    integ = mm.VerletIntegrator(0.002)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(100.0, randomSeed=7)
+    e0 = total_energy(ctx)
+    for _ in range(10):
+        integ.step(50)
+        e = total_energy(ctx)
+        assert abs(e - e0) / max(abs(e0), 1.0) < 0.01, (e0, e)
+
+
+def test_verlet_time_advances():
+    system, positions = lj_cluster_system()
+    integ = mm.VerletIntegrator(0.002)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    integ.step(25)
+    st = ctx.getState()
+    assert abs(st.getTime().value_in_unit(u.picosecond) - 0.05) < 1e-10
+    assert st.getStepCount() == 25
+
+
+@pytest.mark.parametrize("integ_cls", [mm.LangevinIntegrator,
+                                       mm.LangevinMiddleIntegrator])
+def test_langevin_temperature(integ_cls):
+    """Harmonically bound particles must equilibrate to the target T
+    (TestLangevinMiddleIntegrator.h:290 pattern)."""
+    n = 64
+    temp = 300.0
+    system = mm.System()
+    f = mm.CustomExternalForce if False else None
+    # use harmonic bonds to a fixed lattice of anchors (mass 0)
+    bond = mm.HarmonicBondForce()
+    positions = []
+    for i in range(n):
+        system.addParticle(10.0)
+    for i in range(n):
+        system.addParticle(0.0)   # anchors, frozen
+        bond.addBond(i, n + i, 0.0, 100.0)
+        positions.append(mm.Vec3(i * 0.5, 0, 0))
+    positions += positions[:n]
+    system.addForce(bond)
+    integ = integ_cls(temp, 10.0, 0.002)
+    integ.setRandomNumberSeed(4)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(temp, randomSeed=3)
+    integ.step(500)  # equilibrate
+    kes = []
+    for _ in range(60):
+        integ.step(20)
+        kes.append(ctx.getState(getEnergy=True).getKineticEnergy()._value)
+    mean_ke = np.mean(kes)
+    dof = 3 * n
+    expected = 0.5 * dof * BOLTZ * temp
+    assert abs(mean_ke - expected) / expected < 0.12, (mean_ke, expected)
+
+
+def test_brownian_runs():
+    system, positions = lj_cluster_system()
+    integ = mm.BrownianIntegrator(300.0, 10.0, 0.0005)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    integ.step(100)
+    st = ctx.getState(getPositions=True, getEnergy=True)
+    assert np.isfinite(st.getPotentialEnergy()._value)
+
+
+def test_variable_verlet():
+    system, positions = lj_cluster_system()
+    integ = mm.VariableVerletIntegrator(1e-5)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(50.0, randomSeed=1)
+    e0 = total_energy(ctx)
+    integ.step(200)
+    st = ctx.getState(getEnergy=True)
+    e1 = total_energy(ctx)
+    assert st.getTime()._value > 0
+    assert abs(e1 - e0) / max(abs(e0), 1.0) < 0.02
+
+
+def test_andersen_thermostat():
+    n = 32
+    temp = 250.0
+    system = mm.System()
+    bond = mm.HarmonicBondForce()
+    positions = []
+    for i in range(n):
+        system.addParticle(5.0)
+    for i in range(n):
+        system.addParticle(0.0)
+        bond.addBond(i, n + i, 0.0, 50.0)
+        positions.append(mm.Vec3(i * 0.5, 0, 0))
+    positions += positions[:n]
+    system.addForce(bond)
+    system.addForce(mm.AndersenThermostat(temp, 50.0))
+    integ = mm.VerletIntegrator(0.002)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(temp, randomSeed=5)
+    integ.step(500)
+    kes = []
+    for _ in range(60):
+        integ.step(20)
+        kes.append(ctx.getState(getEnergy=True).getKineticEnergy()._value)
+    expected = 0.5 * 3 * n * BOLTZ * temp
+    assert abs(np.mean(kes) - expected) / expected < 0.12
+
+
+def test_cm_motion_remover():
+    system, positions = lj_cluster_system()
+    system.addForce(mm.CMMotionRemover(1))
+    integ = mm.VerletIntegrator(0.002)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.setVelocities([mm.Vec3(0.5, 0.2, -0.1)] * system.getNumParticles())
+    integ.step(5)
+    v = ctx.getState(getVelocities=True).getVelocities(asNumpy=True)._value
+    masses = np.array([39.95] * system.getNumParticles())
+    p_cm = (masses[:, None] * v).sum(axis=0)
+    assert np.max(np.abs(p_cm)) < 1e-6
+
+
+def test_integration_force_groups():
+    """With the bond force excluded from integration, particles keep velocity."""
+    system = mm.System()
+    system.addParticle(1.0)
+    system.addParticle(1.0)
+    f = mm.HarmonicBondForce()
+    f.addBond(0, 1, 1.0, 100.0)
+    f.setForceGroup(1)
+    system.addForce(f)
+    integ = mm.VerletIntegrator(0.001)
+    integ.setIntegrationForceGroups({0})   # exclude group 1
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions([mm.Vec3(0, 0, 0), mm.Vec3(2, 0, 0)])
+    integ.step(10)
+    v = ctx.getState(getVelocities=True).getVelocities(asNumpy=True)._value
+    assert np.max(np.abs(v)) < 1e-12
