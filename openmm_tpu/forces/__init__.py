@@ -14,6 +14,13 @@ from .cmmotion import CMMotionRemover
 from .thermostats import AndersenThermostat
 from .barostats import (MonteCarloBarostat, MonteCarloAnisotropicBarostat,
                         MonteCarloMembraneBarostat)
+from .custom import (CustomExternalForce, CustomBondForce, CustomAngleForce,
+                     CustomTorsionForce, CustomNonbondedForce,
+                     CustomCompoundBondForce, CustomCentroidBondForce)
+from ..tabulated import (TabulatedFunction, Continuous1DFunction,
+                         Continuous2DFunction, Continuous3DFunction,
+                         Discrete1DFunction, Discrete2DFunction,
+                         Discrete3DFunction)
 
 __all__ = [
     "Force", "CompiledForce", "CompileConfig",
@@ -21,4 +28,10 @@ __all__ = [
     "RBTorsionForce", "CMAPTorsionForce", "NonbondedForce", "CMMotionRemover",
     "AndersenThermostat", "MonteCarloBarostat", "MonteCarloAnisotropicBarostat",
     "MonteCarloMembraneBarostat",
+    "CustomExternalForce", "CustomBondForce", "CustomAngleForce",
+    "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",
+    "CustomCentroidBondForce",
+    "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
+    "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
+    "Discrete3DFunction",
 ]
