@@ -17,6 +17,11 @@ from .barostats import (MonteCarloBarostat, MonteCarloAnisotropicBarostat,
 from .custom import (CustomExternalForce, CustomBondForce, CustomAngleForce,
                      CustomTorsionForce, CustomNonbondedForce,
                      CustomCompoundBondForce, CustomCentroidBondForce)
+from .customgb import CustomGBForce
+from .customhbond import CustomHbondForce
+from .customcv import CustomCVForce
+from .gbsa import GBSAOBCForce
+from .rmsd import RMSDForce
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -30,7 +35,8 @@ __all__ = [
     "MonteCarloMembraneBarostat",
     "CustomExternalForce", "CustomBondForce", "CustomAngleForce",
     "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",
-    "CustomCentroidBondForce",
+    "CustomCentroidBondForce", "CustomGBForce", "CustomHbondForce",
+    "CustomCVForce", "GBSAOBCForce", "RMSDForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",
