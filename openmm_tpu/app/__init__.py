@@ -1,0 +1,21 @@
+"""openmm_tpu.app — the application layer: topology/file formats/force fields/
+simulation driver/reporters (counterpart of wrappers/python/openmm/app/)."""
+from .element import Element
+from .topology import Topology, Chain, Residue, Atom
+from .pdbfile import PDBFile
+from .forcefield import ForceField, HBonds, AllBonds, HAngles, NoCutoff, \
+    CutoffNonPeriodic, CutoffPeriodic, Ewald, PME, LJPME
+from .simulation import Simulation
+from .statedatareporter import StateDataReporter
+from .dcdreporter import DCDReporter, DCDFile
+from .pdbreporter import PDBReporter
+from .checkpointreporter import CheckpointReporter
+from .modeller import Modeller
+
+__all__ = [
+    "Element", "Topology", "Chain", "Residue", "Atom", "PDBFile",
+    "ForceField", "Simulation", "StateDataReporter", "DCDReporter", "DCDFile",
+    "PDBReporter", "CheckpointReporter", "Modeller",
+    "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
+    "CutoffPeriodic", "Ewald", "PME", "LJPME",
+]

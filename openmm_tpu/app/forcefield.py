@@ -1,0 +1,713 @@
+"""ForceField: force-field XML files -> System.
+
+Counterpart of wrappers/python/openmm/app/forcefield.py (5.9k LoC): parses the
+same XML schema (AtomTypes, Residues with Atom/Bond/ExternalBond/VirtualSite,
+per-force generator sections), matches every topology residue to a template
+by graph isomorphism (forcefield.py:961), then runs registered generators to
+build Forces (createSystem at forcefield.py:1140, exclusions from 1-2/1-3 +
+scaled 1-4 via NonbondedForce.createExceptionsFromBonds).
+
+Supported generator sections this round: HarmonicBondForce,
+HarmonicAngleForce, PeriodicTorsionForce (Proper/Improper with class
+wildcards), RBTorsionForce, NonbondedForce, GBSAOBCForce, CMAPTorsionForce
+(skeleton), CustomBond/Angle/Torsion/NonbondedForce sections are accepted via
+registerGenerator.
+"""
+from __future__ import annotations
+
+import math
+import os
+import xml.etree.ElementTree as etree
+from collections import defaultdict
+
+from .. import forces as mmforces
+from .. import unit as u
+from ..exceptions import OpenMMException
+from ..system import (LocalCoordinatesSite, OutOfPlaneSite, System,
+                      ThreeParticleAverageSite, TwoParticleAverageSite)
+from ..vec3 import Vec3
+from .element import Element
+
+
+# -- app-layer singleton options (app/internal/singleton.py pattern) ---------
+class _Singleton(object):
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return type(self).__name__
+
+
+class NoCutoff(_Singleton):
+    pass
+
+
+class CutoffNonPeriodic(_Singleton):
+    pass
+
+
+class CutoffPeriodic(_Singleton):
+    pass
+
+
+class Ewald(_Singleton):
+    pass
+
+
+class PME(_Singleton):
+    pass
+
+
+class LJPME(_Singleton):
+    pass
+
+
+class HBonds(_Singleton):
+    pass
+
+
+class AllBonds(_Singleton):
+    pass
+
+
+class HAngles(_Singleton):
+    pass
+
+
+NoCutoff = NoCutoff()
+CutoffNonPeriodic = CutoffNonPeriodic()
+CutoffPeriodic = CutoffPeriodic()
+Ewald = Ewald()
+PME = PME()
+LJPME = LJPME()
+HBonds = HBonds()
+AllBonds = AllBonds()
+HAngles = HAngles()
+
+_METHOD_MAP = {
+    NoCutoff: mmforces.NonbondedForce.NoCutoff,
+    CutoffNonPeriodic: mmforces.NonbondedForce.CutoffNonPeriodic,
+    CutoffPeriodic: mmforces.NonbondedForce.CutoffPeriodic,
+    Ewald: mmforces.NonbondedForce.Ewald,
+    PME: mmforces.NonbondedForce.PME,
+    LJPME: mmforces.NonbondedForce.LJPME,
+}
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _convert(value, unit):
+    return float(u.strip(float(value), unit))
+
+
+class _AtomType(object):
+    __slots__ = ("name", "atomClass", "mass", "element")
+
+    def __init__(self, name, atomClass, mass, element):
+        self.name = name
+        self.atomClass = atomClass
+        self.mass = mass
+        self.element = element
+
+
+class _TemplateAtom(object):
+    def __init__(self, name, type_name, element, params):
+        self.name = name
+        self.type = type_name
+        self.element = element
+        self.params = params  # extra attributes (e.g. charge)
+        self.bondedTo = []
+        self.externalBonds = 0
+
+
+class _Template(object):
+    def __init__(self, name):
+        self.name = name
+        self.atoms = []
+        self.bonds = []            # (i, j)
+        self.externalBonds = []    # atom indices
+        self.virtualSites = []     # dicts
+
+    def atom_index(self, name):
+        for i, a in enumerate(self.atoms):
+            if a.name == name:
+                return i
+        raise OpenMMException("residue template %s: unknown atom %s"
+                              % (self.name, name))
+
+
+class ForceField(object):
+    def __init__(self, *files):
+        self._atomTypes = {}
+        self._templates = {}
+        self._bond_gen = []
+        self._angle_gen = []
+        self._proper_gen = []
+        self._improper_gen = []
+        self._rb_gen = []
+        self._nonbonded = None     # dict with coulomb14scale etc.
+        self._nb_params = {}       # type -> (charge, sigma, epsilon)
+        self._gbsa_params = {}     # type -> (charge?, radius, scale)
+        self._gbsa_cfg = None
+        self._scripts = []
+        self._generators = []
+        for f in files:
+            self.loadFile(f)
+
+    # ------------------------------------------------------------ parsing
+    def loadFile(self, file):
+        if isinstance(file, str):
+            path = file
+            if not os.path.exists(path):
+                candidate = os.path.join(_DATA_DIR, file)
+                if os.path.exists(candidate):
+                    path = candidate
+                else:
+                    raise OpenMMException("force field file not found: " + file)
+            tree = etree.parse(path)
+        else:
+            tree = etree.parse(file)
+        root = tree.getroot()
+        for include in root.findall("Include"):
+            self.loadFile(include.attrib["file"])
+        for types in root.findall("AtomTypes"):
+            for t in types.findall("Type"):
+                element = None
+                if "element" in t.attrib:
+                    element = Element.getBySymbol(t.attrib["element"])
+                self._atomTypes[t.attrib["name"]] = _AtomType(
+                    t.attrib["name"], t.attrib.get("class", t.attrib["name"]),
+                    float(t.attrib["mass"]), element)
+        for residues in root.findall("Residues"):
+            for res in residues.findall("Residue"):
+                self._parse_template(res)
+        for section in root.findall("HarmonicBondForce"):
+            for b in section.findall("Bond"):
+                self._bond_gen.append((
+                    self._types_or_classes(b, 2),
+                    float(b.attrib["length"]), float(b.attrib["k"])))
+        for section in root.findall("HarmonicAngleForce"):
+            for a in section.findall("Angle"):
+                self._angle_gen.append((
+                    self._types_or_classes(a, 3),
+                    float(a.attrib["angle"]), float(a.attrib["k"])))
+        for section in root.findall("PeriodicTorsionForce"):
+            ordering = section.attrib.get("ordering", "default")
+            for t in section.findall("Proper"):
+                terms = self._torsion_terms(t)
+                self._proper_gen.append((self._types_or_classes(t, 4), terms))
+            for t in section.findall("Improper"):
+                terms = self._torsion_terms(t)
+                self._improper_gen.append((self._types_or_classes(t, 4),
+                                           terms, ordering))
+        for section in root.findall("RBTorsionForce"):
+            for t in section.findall("Proper"):
+                cs = [float(t.attrib.get("c%d" % i, 0)) for i in range(6)]
+                self._rb_gen.append((self._types_or_classes(t, 4), cs))
+        for section in root.findall("NonbondedForce"):
+            if self._nonbonded is None:
+                self._nonbonded = {
+                    "coulomb14scale": float(section.attrib.get("coulomb14scale", 0.833333)),
+                    "lj14scale": float(section.attrib.get("lj14scale", 0.5)),
+                    "useChargeFromResidue": False,
+                }
+            for a in section.findall("UseAttributeFromResidue"):
+                if a.attrib["name"] == "charge":
+                    self._nonbonded["useChargeFromResidue"] = True
+            for a in section.findall("Atom"):
+                key = a.attrib.get("type")
+                keys = [key] if key is not None else self._class_types(a.attrib["class"])
+                for k in keys:
+                    self._nb_params[k] = (
+                        float(a.attrib.get("charge", 0.0)),
+                        float(a.attrib.get("sigma", 1.0)),
+                        float(a.attrib.get("epsilon", 0.0)))
+        for section in root.findall("GBSAOBCForce"):
+            self._gbsa_cfg = {}
+            for a in section.findall("Atom"):
+                key = a.attrib.get("type")
+                keys = [key] if key is not None else self._class_types(a.attrib["class"])
+                for k in keys:
+                    self._gbsa_params[k] = (float(a.attrib.get("charge", 0.0)),
+                                            float(a.attrib["radius"]),
+                                            float(a.attrib["scale"]))
+
+    def _class_types(self, cls):
+        return [t.name for t in self._atomTypes.values() if t.atomClass == cls]
+
+    @staticmethod
+    def _torsion_terms(node):
+        terms = []
+        i = 1
+        while ("periodicity%d" % i) in node.attrib:
+            terms.append((int(node.attrib["periodicity%d" % i]),
+                          float(node.attrib["phase%d" % i]),
+                          float(node.attrib["k%d" % i])))
+            i += 1
+        return terms
+
+    def _types_or_classes(self, node, n):
+        """Return per-slot sets of matching type names; None = wildcard."""
+        out = []
+        for i in range(1, n + 1):
+            t = node.attrib.get("type%d" % i)
+            c = node.attrib.get("class%d" % i)
+            if t is not None:
+                out.append(None if t == "" else frozenset([t]))
+            elif c is not None:
+                out.append(None if c == "" else
+                           frozenset(self._class_types(c)))
+            else:
+                out.append(None)
+        return out
+
+    def _parse_template(self, node):
+        template = _Template(node.attrib["name"])
+        for child in node:
+            if child.tag == "Atom":
+                type_name = child.attrib["type"]
+                at = self._atomTypes.get(type_name)
+                params = {k: float(v) for k, v in child.attrib.items()
+                          if k not in ("name", "type")}
+                template.atoms.append(_TemplateAtom(
+                    child.attrib["name"], type_name,
+                    at.element if at else None, params))
+            elif child.tag == "Bond":
+                if "atomName1" in child.attrib:
+                    i = template.atom_index(child.attrib["atomName1"])
+                    j = template.atom_index(child.attrib["atomName2"])
+                else:
+                    i = int(child.attrib["from"])
+                    j = int(child.attrib["to"])
+                template.bonds.append((i, j))
+                template.atoms[i].bondedTo.append(j)
+                template.atoms[j].bondedTo.append(i)
+            elif child.tag == "ExternalBond":
+                if "atomName" in child.attrib:
+                    i = template.atom_index(child.attrib["atomName"])
+                else:
+                    i = int(child.attrib["from"])
+                template.externalBonds.append(i)
+                template.atoms[i].externalBonds += 1
+            elif child.tag == "VirtualSite":
+                template.virtualSites.append(dict(child.attrib))
+        self._templates[template.name] = template
+
+    def getMatchingTemplates(self, topology):
+        return [self._match_residue(res)[0] for res in topology.residues()]
+
+    def registerGenerator(self, generator):
+        self._generators.append(generator)
+
+    def registerResidueTemplate(self, template):
+        self._templates[template.name] = template
+
+    # -------------------------------------------------------- template match
+    def _match_residue(self, res):
+        """Graph-isomorphism match of a topology residue against templates
+        (semantics of forcefield.py:961 _matchResidue)."""
+        atoms = list(res.atoms())
+        bonds = []
+        external = defaultdict(int)
+        for b in res.chain.topology.bonds():
+            in1 = b[0].residue is res
+            in2 = b[1].residue is res
+            if in1 and in2:
+                bonds.append((atoms.index(b[0]), atoms.index(b[1])))
+            elif in1:
+                external[atoms.index(b[0])] += 1
+            elif in2:
+                external[atoms.index(b[1])] += 1
+        neigh = defaultdict(list)
+        for i, j in bonds:
+            neigh[i].append(j)
+            neigh[j].append(i)
+
+        candidates = [t for t in self._templates.values()
+                      if len(t.atoms) == len(atoms)]
+        for template in candidates:
+            mapping = self._try_match(atoms, neigh, external, template)
+            if mapping is not None:
+                return template, mapping
+        raise OpenMMException(
+            "No template found for residue %d (%s).  %s" % (
+                res.index + 1, res.name,
+                "The set of atoms matches no template." if candidates
+                else "No template has the right number of atoms."))
+
+    @staticmethod
+    def _try_match(atoms, neigh, external, template):
+        n = len(atoms)
+        t_atoms = template.atoms
+        t_neigh = defaultdict(list)
+        for i, j in template.bonds:
+            t_neigh[i].append(j)
+            t_neigh[j].append(i)
+
+        def compatible(ai, ti):
+            a = atoms[ai]
+            t = t_atoms[ti]
+            if (a.element is None) != (t.element is None):
+                return False
+            if a.element is not None and t.element is not None \
+                    and a.element.atomic_number != t.element.atomic_number:
+                return False
+            if len(neigh[ai]) != len(t_neigh[ti]):
+                return False
+            if external.get(ai, 0) != t.externalBonds:
+                return False
+            return True
+
+        mapping = [-1] * n          # topology index -> template index
+        used = [False] * n
+        order = sorted(range(n), key=lambda ai: -len(neigh[ai]))
+
+        def backtrack(k):
+            if k == n:
+                return True
+            ai = order[k]
+            for ti in range(n):
+                if used[ti] or not compatible(ai, ti):
+                    continue
+                ok = True
+                for nb in neigh[ai]:
+                    tm = mapping[nb]
+                    if tm >= 0 and tm not in t_neigh[ti]:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                mapping[ai] = ti
+                used[ti] = True
+                if backtrack(k + 1):
+                    return True
+                mapping[ai] = -1
+                used[ti] = False
+            return False
+
+        if backtrack(0):
+            return mapping
+        return None
+
+    # ------------------------------------------------------------ createSystem
+    def createSystem(self, topology, nonbondedMethod=NoCutoff,
+                     nonbondedCutoff=1.0 * u.nanometer, constraints=None,
+                     rigidWater=None, removeCMMotion=True, hydrogenMass=None,
+                     residueTemplates=None, ignoreExternalBonds=False,
+                     switchDistance=None, flexibleConstraints=False,
+                     ewaldErrorTolerance=5e-4, useDispersionCorrection=True,
+                     soluteDielectric=1.0, solventDielectric=78.5, **kwargs):
+        if rigidWater is None:
+            rigidWater = constraints is not None
+        sys = System()
+        atoms = list(topology.atoms())
+        n = len(atoms)
+
+        # match templates, assign types
+        atom_type = [None] * n
+        template_info = []   # (residue, template, mapping)
+        for res in topology.residues():
+            template, mapping = self._match_residue(res)
+            template_info.append((res, template, mapping))
+            res_atoms = list(res.atoms())
+            for local_i, a in enumerate(res_atoms):
+                t_i = mapping[local_i]
+                atom_type[a.index] = (template.atoms[t_i].type,
+                                      template.atoms[t_i].params)
+
+        # particles
+        for a in atoms:
+            tname, _ = atom_type[a.index]
+            at = self._atomTypes[tname]
+            sys.addParticle(at.mass)
+
+        # virtual sites from templates
+        for (res, template, mapping) in template_info:
+            res_atoms = list(res.atoms())
+            local_of_template = {t: l for l, t in enumerate(mapping)}
+            for vs in template.virtualSites:
+                t_index = int(vs["index"])
+                site_atom = res_atoms[local_of_template[t_index]].index
+
+                def gat(key):
+                    return res_atoms[local_of_template[int(vs[key])]].index
+
+                if vs["type"] == "average2":
+                    sys.setVirtualSite(site_atom, TwoParticleAverageSite(
+                        gat("atom1"), gat("atom2"),
+                        float(vs["weight1"]), float(vs["weight2"])))
+                elif vs["type"] == "average3":
+                    sys.setVirtualSite(site_atom, ThreeParticleAverageSite(
+                        gat("atom1"), gat("atom2"), gat("atom3"),
+                        float(vs["weight1"]), float(vs["weight2"]),
+                        float(vs["weight3"])))
+                elif vs["type"] == "outOfPlane":
+                    sys.setVirtualSite(site_atom, OutOfPlaneSite(
+                        gat("atom1"), gat("atom2"), gat("atom3"),
+                        float(vs["weight12"]), float(vs["weight13"]),
+                        float(vs["weightCross"])))
+                elif vs["type"] == "localCoords":
+                    n_p = 1
+                    while ("atom%d" % (n_p + 1)) in vs:
+                        n_p += 1
+                    particles = [gat("atom%d" % (k + 1)) for k in range(n_p)]
+                    ow = [float(vs["wo%d" % (k + 1)]) for k in range(n_p)]
+                    wx = [float(vs["wx%d" % (k + 1)]) for k in range(n_p)]
+                    wy = [float(vs["wy%d" % (k + 1)]) for k in range(n_p)]
+                    lp = Vec3(float(vs["p1"]), float(vs["p2"]), float(vs["p3"]))
+                    sys.setVirtualSite(site_atom, LocalCoordinatesSite(
+                        particles, ow, wx, wy, lp))
+
+        # box
+        box = topology.getPeriodicBoxVectors()
+        if box is not None:
+            sys.setDefaultPeriodicBoxVectors(*box.value_in_unit(u.nanometer))
+
+        # bond list
+        bonds = [(b[0].index, b[1].index) for b in topology.bonds()]
+        type_of = lambda i: atom_type[i][0]  # noqa: E731
+
+        # identify waters for rigidWater
+        is_water = [a.residue.name in ("HOH", "WAT", "H2O", "TIP3", "SOL")
+                    for a in atoms]
+
+        def is_h(i):
+            el = atoms[i].element
+            return el is not None and el.atomic_number == 1
+
+        # angles from bond graph
+        neigh = defaultdict(set)
+        for (i, j) in bonds:
+            neigh[i].add(j)
+            neigh[j].add(i)
+        angles = []
+        for j in sorted(neigh):
+            nb = sorted(neigh[j])
+            for x in range(len(nb)):
+                for y in range(x + 1, len(nb)):
+                    angles.append((nb[x], j, nb[y]))
+
+        # ---- constraints selection --------------------------------------
+        constrained_bonds = set()
+
+        def want_bond_constraint(i, j):
+            if constraints is AllBonds or constraints is HAngles:
+                return True
+            if (constraints is HBonds) and (is_h(i) or is_h(j)):
+                return True
+            if rigidWater and is_water[i] and is_water[j]:
+                return True
+            return False
+
+        # ---- harmonic bonds ------------------------------------------------
+        bond_force = mmforces.HarmonicBondForce()
+        bond_params = {}
+        for (match, length, k) in self._bond_gen:
+            bond_params[(match[0], match[1])] = (length, k)
+
+        def lookup_pair(gen_list, t1, t2):
+            for (match, *rest) in gen_list:
+                s1, s2 = match
+                if ((s1 is None or t1 in s1) and (s2 is None or t2 in s2)) or \
+                   ((s1 is None or t2 in s1) and (s2 is None or t1 in s2)):
+                    return rest
+            return None
+
+        bond_r0 = {}
+        for (i, j) in bonds:
+            found = lookup_pair(self._bond_gen, type_of(i), type_of(j))
+            if found is None:
+                continue
+            length, k = found
+            bond_r0[(min(i, j), max(i, j))] = length
+            if want_bond_constraint(i, j):
+                sys.addConstraint(i, j, length)
+                constrained_bonds.add((min(i, j), max(i, j)))
+                if flexibleConstraints:
+                    bond_force.addBond(i, j, length, k)
+            else:
+                bond_force.addBond(i, j, length, k)
+        if bond_force.getNumBonds() > 0:
+            sys.addForce(bond_force)
+
+        # ---- angles ------------------------------------------------------------
+        angle_force = mmforces.HarmonicAngleForce()
+        for (i, j, k_atom) in angles:
+            found = None
+            for (match, theta0, kk) in self._angle_gen:
+                s1, s2, s3 = match
+                t1, t2, t3 = type_of(i), type_of(j), type_of(k_atom)
+                if (s2 is None or t2 in s2) and (
+                        ((s1 is None or t1 in s1) and (s3 is None or t3 in s3))
+                        or ((s1 is None or t3 in s1) and (s3 is None or t1 in s3))):
+                    found = (theta0, kk)
+                    break
+            if found is None:
+                continue
+            theta0, kk = found
+            constrain_angle = (constraints is HAngles and is_h(i) and is_h(k_atom))
+            water_angle = (rigidWater and is_water[i] and is_water[j]
+                           and is_water[k_atom])
+            if constrain_angle or water_angle:
+                # constrain the 1-3 distance via law of cosines
+                key1 = (min(i, j), max(i, j))
+                key2 = (min(j, k_atom), max(j, k_atom))
+                if key1 in bond_r0 and key2 in bond_r0:
+                    l1, l2 = bond_r0[key1], bond_r0[key2]
+                    d13 = math.sqrt(l1 * l1 + l2 * l2
+                                    - 2 * l1 * l2 * math.cos(theta0))
+                    sys.addConstraint(i, k_atom, d13)
+                if not flexibleConstraints:
+                    continue
+            angle_force.addAngle(i, j, k_atom, theta0, kk)
+        if angle_force.getNumAngles() > 0:
+            sys.addForce(angle_force)
+
+        # ---- torsions --------------------------------------------------------
+        torsion_force = mmforces.PeriodicTorsionForce()
+        propers = []
+        for (i, j) in bonds:
+            for a0 in neigh[i]:
+                if a0 == j:
+                    continue
+                for b0 in neigh[j]:
+                    if b0 == i or b0 == a0:
+                        continue
+                    propers.append((a0, i, j, b0))
+
+        def match4(slots, ts):
+            return all(s is None or t in s for s, t in zip(slots, ts))
+
+        for quad in propers:
+            ts = tuple(type_of(x) for x in quad)
+            best = None
+            best_wild = 5
+            for (slots, terms) in self._proper_gen:
+                for cand in (ts, ts[::-1]):
+                    if match4(slots, cand):
+                        n_wild = sum(1 for s in slots if s is None)
+                        if n_wild < best_wild:
+                            best, best_wild = terms, n_wild
+                        break
+            if best:
+                for (per, phase, kk) in best:
+                    if kk != 0:
+                        torsion_force.addTorsion(*quad, per, phase, kk)
+        # impropers: central atom is the FIRST type slot; topology atoms are
+        # the central atom j bonded to 3 others (forcefield.py improper logic)
+        for j in sorted(neigh):
+            nb = sorted(neigh[j])
+            if len(nb) < 3:
+                continue
+            tj = type_of(j)
+            import itertools
+            for (slots, terms, ordering) in self._improper_gen:
+                s1 = slots[0]
+                if s1 is not None and tj not in s1:
+                    continue
+                matched = None
+                for perm in itertools.permutations(nb, 3):
+                    tp = tuple(type_of(x) for x in perm)
+                    if match4(slots[1:], tp):
+                        matched = perm
+                        break
+                if matched:
+                    a1, a2, a3 = matched
+                    for (per, phase, kk) in terms:
+                        if kk != 0:
+                            torsion_force.addTorsion(a1, a2, j, a3, per,
+                                                     phase, kk)
+                    break
+        if torsion_force.getNumTorsions() > 0:
+            sys.addForce(torsion_force)
+
+        # ---- RB torsions -----------------------------------------------------
+        if self._rb_gen:
+            rb_force = mmforces.RBTorsionForce()
+            for quad in propers:
+                ts = tuple(type_of(x) for x in quad)
+                for (slots, cs) in self._rb_gen:
+                    if match4(slots, ts) or match4(slots, ts[::-1]):
+                        rb_force.addTorsion(*quad, *cs)
+                        break
+            if rb_force.getNumTorsions() > 0:
+                sys.addForce(rb_force)
+
+        # ---- nonbonded ----------------------------------------------------------
+        if self._nonbonded is not None:
+            nb = mmforces.NonbondedForce()
+            method = _METHOD_MAP.get(nonbondedMethod, nonbondedMethod)
+            nb.setNonbondedMethod(method)
+            nb.setCutoffDistance(u.strip(nonbondedCutoff, u.nanometer))
+            nb.setEwaldErrorTolerance(ewaldErrorTolerance)
+            nb.setUseDispersionCorrection(useDispersionCorrection)
+            if switchDistance is not None:
+                nb.setUseSwitchingFunction(True)
+                nb.setSwitchingDistance(u.strip(switchDistance, u.nanometer))
+            for a in atoms:
+                tname, tparams = atom_type[a.index]
+                q, sigma, eps = self._nb_params.get(tname, (0.0, 1.0, 0.0))
+                if self._nonbonded["useChargeFromResidue"]:
+                    q = tparams.get("charge", 0.0)
+                nb.addParticle(q, sigma, eps)
+            nb.createExceptionsFromBonds(
+                bonds, self._nonbonded["coulomb14scale"],
+                self._nonbonded["lj14scale"])
+            sys.addForce(nb)
+
+        # ---- GBSA-OBC -------------------------------------------------------------
+        if self._gbsa_cfg is not None and self._gbsa_params:
+            gb = mmforces.GBSAOBCForce()
+            gb.setSoluteDielectric(soluteDielectric)
+            gb.setSolventDielectric(solventDielectric)
+            for a in atoms:
+                tname, tparams = atom_type[a.index]
+                q, radius, scale = self._gbsa_params.get(
+                    tname, (0.0, 0.15, 0.8))
+                if self._nonbonded and self._nonbonded["useChargeFromResidue"]:
+                    q = tparams.get("charge", q)
+                gb.addParticle(q, radius, scale)
+            sys.addForce(gb)
+
+        # ---- custom registered generators --------------------------------------
+        data = _SystemData(atoms, atom_type, bonds, angles, propers,
+                           template_info)
+        for gen in self._generators:
+            gen(sys, data, nonbondedMethod, nonbondedCutoff)
+
+        # ---- hydrogen mass repartitioning (forcefield.py createSystem) ---------
+        if hydrogenMass is not None:
+            h_mass = float(u.strip(hydrogenMass, u.dalton))
+            for (i, j) in bonds:
+                hi, hj = is_h(i), is_h(j)
+                if hi == hj:
+                    continue
+                h, heavy = (i, j) if hi else (j, i)
+                if sys.getParticleMass(heavy)._value <= h_mass:
+                    continue
+                transfer = h_mass - sys.getParticleMass(h)._value
+                if transfer != 0:
+                    sys.setParticleMass(
+                        heavy, sys.getParticleMass(heavy)._value - transfer)
+                    sys.setParticleMass(h, h_mass)
+
+        if removeCMMotion:
+            sys.addForce(mmforces.CMMotionRemover())
+        return sys
+
+
+class _SystemData(object):
+    """Bundle handed to registered generators (mirrors forcefield.py's
+    internal SystemData role at a reduced scale)."""
+
+    def __init__(self, atoms, atom_type, bonds, angles, propers, templates):
+        self.atoms = atoms
+        self.atomType = atom_type
+        self.bonds = bonds
+        self.angles = angles
+        self.propers = propers
+        self.templates = templates

@@ -1,0 +1,212 @@
+"""Modeller: edit topologies — add/delete atoms, solvate, convert water
+(counterpart of wrappers/python/openmm/app/modeller.py:378-1567 at reduced
+scope this round: add/delete/deleteWater/addSolvent with a lattice-filled
+box pruned by a cell list; addHydrogens/addMembrane land with the protein
+force fields)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import unit as u
+from ..vec3 import Vec3
+from .element import Element
+from .topology import Topology
+from . import unitcell
+
+
+class Modeller(object):
+    def __init__(self, topology, positions):
+        self.topology = topology
+        if not u.is_quantity(positions):
+            positions = u.Quantity(positions, u.nanometer)
+        self.positions = positions
+
+    def getTopology(self):
+        return self.topology
+
+    def getPositions(self):
+        return self.positions
+
+    def add(self, addTopology, addPositions):
+        """Merge another topology+positions into the model (modeller.py add)."""
+        new_top = Topology()
+        new_top.setPeriodicBoxVectors(self.topology.getPeriodicBoxVectors())
+        new_pos = []
+        atom_map = {}
+        for top, pos in ((self.topology, u.strip(self.positions, u.nanometer)),
+                         (addTopology, u.strip(addPositions, u.nanometer))):
+            for chain in top.chains():
+                nc = new_top.addChain(chain.id)
+                for res in chain.residues():
+                    nr = new_top.addResidue(res.name, nc, res.id,
+                                            res.insertionCode)
+                    for atom in res.atoms():
+                        na = new_top.addAtom(atom.name, atom.element, nr,
+                                             atom.id)
+                        atom_map[atom] = na
+                        new_pos.append(Vec3(*pos[atom.index]))
+            for bond in top.bonds():
+                new_top.addBond(atom_map[bond[0]], atom_map[bond[1]],
+                                bond.type, bond.order)
+        self.topology = new_top
+        self.positions = u.Quantity(new_pos, u.nanometer)
+
+    def delete(self, toDelete):
+        """Delete atoms/residues/chains/bonds (modeller.py delete)."""
+        delete_set = set(toDelete)
+        new_top = Topology()
+        new_top.setPeriodicBoxVectors(self.topology.getPeriodicBoxVectors())
+        pos = u.strip(self.positions, u.nanometer)
+        new_pos = []
+        atom_map = {}
+        for chain in self.topology.chains():
+            if chain in delete_set:
+                continue
+            kept_res = [res for res in chain.residues()
+                        if res not in delete_set]
+            kept = []
+            for res in kept_res:
+                atoms = [a for a in res.atoms() if a not in delete_set]
+                if atoms:
+                    kept.append((res, atoms))
+            if not kept:
+                continue
+            nc = new_top.addChain(chain.id)
+            for res, atoms in kept:
+                nr = new_top.addResidue(res.name, nc, res.id, res.insertionCode)
+                for atom in atoms:
+                    na = new_top.addAtom(atom.name, atom.element, nr, atom.id)
+                    atom_map[atom] = na
+                    new_pos.append(Vec3(*pos[atom.index]))
+        for bond in self.topology.bonds():
+            if bond in delete_set:
+                continue
+            if bond[0] in atom_map and bond[1] in atom_map:
+                new_top.addBond(atom_map[bond[0]], atom_map[bond[1]],
+                                bond.type, bond.order)
+        self.topology = new_top
+        self.positions = u.Quantity(new_pos, u.nanometer)
+
+    def deleteWater(self):
+        self.delete([res for res in self.topology.residues()
+                     if res.name in ("HOH", "WAT", "H2O", "SOL")])
+
+    def addSolvent(self, forcefield=None, model="tip3p", boxSize=None,
+                   boxVectors=None, padding=None, numAdded=None,
+                   neutralize=False, positiveIon="Na+", negativeIon="Cl-",
+                   ionicStrength=0.0):
+        """Fill the periodic box with water (modeller.py:378 addSolvent,
+        lattice-fill variant): place waters on a jittered lattice at liquid
+        density, prune any within 0.24 nm vdW distance of existing atoms."""
+        pos = np.asarray(u.strip(self.positions, u.nanometer), float)
+        if len(pos) == 0:
+            pos = np.zeros((0, 3))
+        if boxVectors is not None:
+            box = np.asarray(u.strip(boxVectors, u.nanometer), float)
+        elif boxSize is not None:
+            d = u.strip(boxSize, u.nanometer)
+            box = np.diag([d[0], d[1], d[2]])
+        elif padding is not None:
+            pad = float(u.strip(padding, u.nanometer))
+            if len(pos):
+                extent = pos.max(axis=0) - pos.min(axis=0)
+            else:
+                extent = np.zeros(3)
+            side = float(max(extent)) + 2 * pad
+            box = np.eye(3) * side
+        elif self.topology.getPeriodicBoxVectors() is not None:
+            box = np.asarray(u.strip(self.topology.getPeriodicBoxVectors(),
+                                     u.nanometer), float)
+        else:
+            raise ValueError("must specify boxSize, boxVectors, or padding")
+        self.topology.setPeriodicBoxVectors(u.Quantity(
+            (Vec3(*box[0]), Vec3(*box[1]), Vec3(*box[2])), u.nanometer))
+
+        # center solute in the box
+        if len(pos):
+            center_shift = 0.5 * (box[0] + box[1] + box[2]) \
+                - 0.5 * (pos.max(axis=0) + pos.min(axis=0))
+            pos = pos + center_shift
+            self.positions = u.Quantity([Vec3(*p) for p in pos], u.nanometer)
+
+        density = 33.37
+        lx, ly, lz = box[0][0], box[1][1], box[2][2]
+        nx = max(1, int(lx * density ** (1 / 3)))
+        ny = max(1, int(ly * density ** (1 / 3)))
+        nz = max(1, int(lz * density ** (1 / 3)))
+        rng = np.random.RandomState(59173)
+        d_oh = 0.09572
+        theta = 104.52 * math.pi / 180
+        ref = np.array([[0, 0, 0], [d_oh, 0, 0],
+                        [d_oh * math.cos(theta), d_oh * math.sin(theta), 0]])
+        # cell list over existing atoms for overlap pruning
+        cut = 0.24
+        occupied = {}
+        inv_cut = 1.0 / cut
+        for p in pos:
+            key = tuple((p * inv_cut).astype(int))
+            occupied.setdefault(key, []).append(p)
+
+        def clash(center):
+            key0 = (center * inv_cut).astype(int)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        for q in occupied.get((key0[0] + dx, key0[1] + dy,
+                                               key0[2] + dz), ()):
+                            if np.sum((center - q) ** 2) < cut * cut:
+                                return True
+            return False
+
+        water_top = Topology()
+        chain = water_top.addChain()
+        new_waters = []
+        o_el = Element.getBySymbol("O")
+        h_el = Element.getBySymbol("H")
+        count = 0
+        for ix in range(nx):
+            for iy in range(ny):
+                for iz in range(nz):
+                    if numAdded is not None and count >= numAdded:
+                        break
+                    center = np.array([(ix + 0.5) * lx / nx,
+                                       (iy + 0.5) * ly / ny,
+                                       (iz + 0.5) * lz / nz]) \
+                        + (rng.rand(3) - 0.5) * 0.02
+                    if clash(center):
+                        continue
+                    ang = rng.rand() * 2 * math.pi
+                    axis = rng.randn(3)
+                    axis /= np.linalg.norm(axis)
+                    K = np.array([[0, -axis[2], axis[1]],
+                                  [axis[2], 0, -axis[0]],
+                                  [-axis[1], axis[0], 0]])
+                    R = np.eye(3) + math.sin(ang) * K \
+                        + (1 - math.cos(ang)) * (K @ K)
+                    pts = ref @ R.T + center
+                    res = water_top.addResidue("HOH", chain)
+                    o = water_top.addAtom("O", o_el, res)
+                    h1 = water_top.addAtom("H1", h_el, res)
+                    h2 = water_top.addAtom("H2", h_el, res)
+                    water_top.addBond(o, h1)
+                    water_top.addBond(o, h2)
+                    for row in pts:
+                        new_waters.append(Vec3(*row))
+                    count += 1
+        self.add(water_top, u.Quantity(new_waters, u.nanometer))
+
+    def convertWater(self, model="tip3p"):
+        if model != "tip3p":
+            raise NotImplementedError(
+                "only 3-site water supported this round")
+
+    def addExtraParticles(self, forcefield):
+        raise NotImplementedError(
+            "addExtraParticles lands with multi-site water models")
+
+    def addHydrogens(self, forcefield=None, pH=7.0, variants=None,
+                     platform=None):
+        raise NotImplementedError(
+            "addHydrogens lands with the protein force fields")

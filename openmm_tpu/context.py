@@ -236,6 +236,12 @@ class Context(object):
         deps.apply_position_constraints = apply_position_constraints
         deps.apply_velocity_constraints = apply_velocity_constraints
         deps.compute_vsites = compute_vsites
+        # jitted variants for host-initiated calls (setPositions,
+        # applyConstraints, setVelocitiesToTemperature): eager op-by-op
+        # execution would trigger one XLA compile per op on remote backends
+        self._jit_pos_constraints = jax.jit(apply_position_constraints)
+        self._jit_vel_constraints = jax.jit(apply_velocity_constraints)
+        self._jit_vsites = jax.jit(compute_vsites)
 
         modules = self._modules
 
@@ -334,7 +340,7 @@ class Context(object):
                 "setPositions: expected %d positions, got %s" % (self._n, pos.shape))
         arr = jnp.asarray(pos.astype(self._dtype))
         if self._vsite_update is not None:
-            arr = self._vsite_update(arr)
+            arr = self._jit_vsites(arr)
         self._state["positions"] = arr
         self._positions_set = True
 
@@ -351,12 +357,18 @@ class Context(object):
         temp = float(u.strip(temperature, u.kelvin))
         if randomSeed is None:
             randomSeed = int(np.random.randint(1, 2 ** 31 - 1))
+        if not hasattr(self, "_jit_sample_velocities"):
+            def _sample(key, temp_val, pos):
+                kT = BOLTZ * temp_val
+                sigma = jnp.sqrt(kT * self._inv_masses_dev)[:, None]
+                v = sigma * jax.random.normal(key, (self._n, 3),
+                                              dtype=self._dtype)
+                return self._deps.apply_velocity_constraints(pos, v)
+            with jax.default_device(self._device):
+                self._jit_sample_velocities = jax.jit(_sample)
         key = jax.random.PRNGKey(int(randomSeed))
-        kT = BOLTZ * temp
-        sigma = jnp.sqrt(kT * self._inv_masses_dev)[:, None]
-        v = sigma * jax.random.normal(key, (self._n, 3), dtype=self._dtype)
-        v = self._deps.apply_velocity_constraints(self._state["positions"], v)
-        self._state["velocities"] = v
+        self._state["velocities"] = self._jit_sample_velocities(
+            key, jnp.asarray(temp, self._dtype), self._state["positions"])
 
     def setPeriodicBoxVectors(self, a, b, c):
         jnp = _jnp()
@@ -442,6 +454,33 @@ class Context(object):
         s = self._state
         return self._ef_fn_cache[key](s["positions"], s["box"], self._params,
                                       s["gp"])
+
+    def _make_position_energy_fn(self, groups=-1):
+        """(pos ndarray) -> (energy, forces) with current params/box/gp; used
+        by LocalEnergyMinimizer."""
+        import jax
+        import jax.numpy as jnp
+        key = ("posEF", groups)
+        if key not in self._ef_fn_cache:
+            def fn(pos, box, params_list, gp):
+                def pe(pos):
+                    return self._deps._potential_energy(pos, box, params_list,
+                                                        gp, groups)
+                e, neg_f = jax.value_and_grad(pe)(pos)
+                return e, -neg_f
+            with jax.default_device(self._device):
+                self._ef_fn_cache[key] = jax.jit(fn)
+        compiled = self._ef_fn_cache[key]
+
+        def evaluate(pos):
+            jnp_mod = _jnp()
+            s = self._state
+            pos_dev = jnp_mod.asarray(np.asarray(pos).astype(
+                np.dtype(self._dtype)))
+            e, f = compiled(pos_dev, s["box"], self._params, s["gp"])
+            return float(e), np.asarray(f, np.float64)
+
+        return evaluate
 
     def _kinetic_energy(self, forces=None):
         return float(self._integrator._kinetic_energy(
@@ -541,15 +580,15 @@ class Context(object):
     # --------------------------------------------------------- constraints API
     def applyConstraints(self, tol=None):
         pos = self._state["positions"]
-        new = self._deps.apply_position_constraints(pos, pos)
-        self._state["positions"] = self._deps.compute_vsites(new)
+        new = self._jit_pos_constraints(pos, pos)
+        self._state["positions"] = self._jit_vsites(new)
 
     def applyVelocityConstraints(self, tol=None):
-        self._state["velocities"] = self._deps.apply_velocity_constraints(
+        self._state["velocities"] = self._jit_vel_constraints(
             self._state["positions"], self._state["velocities"])
 
     def computeVirtualSites(self):
-        self._state["positions"] = self._deps.compute_vsites(
+        self._state["positions"] = self._jit_vsites(
             self._state["positions"])
 
     # ------------------------------------------------------------- checkpoints
