@@ -38,3 +38,11 @@ __all__ = ([
 
 # the version module object, mirroring `openmm.version`
 from . import version  # noqa: E402
+from .serialization import XmlSerializer  # noqa: E402
+from .minimize import LocalEnergyMinimizer, MinimizationReporter  # noqa: E402
+from .tabulated import (TabulatedFunction, Continuous1DFunction,  # noqa: E402,F811
+                        Continuous2DFunction, Continuous3DFunction,
+                        Discrete1DFunction, Discrete2DFunction,
+                        Discrete3DFunction)
+
+__all__ += ["XmlSerializer", "LocalEnergyMinimizer", "MinimizationReporter"]

@@ -395,6 +395,29 @@ class Context(object):
         self._state["gp"] = dict(self._state["gp"],
                                  **{name: jnp.asarray(float(u.strip(value)), self._dtype)})
 
+    def setState(self, state):
+        """Restore a Context from a State object (Context::setState)."""
+        types = state.getDataTypes()
+        if state._box is not None:
+            b = np.asarray(state._box)
+            self.setPeriodicBoxVectors(Vec3(*b[0]), Vec3(*b[1]), Vec3(*b[2]))
+        self.setTime(state._time)
+        self.setStepCount(state._stepCount)
+        if types & State.Positions:
+            self.setPositions(state.getPositions(asNumpy=True))
+        if types & State.Velocities:
+            self.setVelocities(state.getVelocities(asNumpy=True))
+        if types & State.Parameters:
+            for k, v in state.getParameters().items():
+                if k in self._state["gp"]:
+                    self.setParameter(k, v)
+        if types & State.IntegratorParameters:
+            jnp = _jnp()
+            ip = dict(self._state["iparams"])
+            for k, v in state.getIntegratorParameters().items():
+                ip[k] = jnp.asarray(v, self._dtype)
+            self._state["iparams"] = ip
+
     def getMolecules(self):
         out = [[] for _ in range(self._n_molecules)]
         for atom, mol in enumerate(self._molecule_id):

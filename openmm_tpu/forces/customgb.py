@@ -156,12 +156,12 @@ class CustomGBForce(Force, _CustomMixin):
 
         def energy_fn(pos, box, p, gp):
             pos_pad = jnp.zeros((n_pad, 3), pos.dtype).at[:n].set(pos)
-            valid = jnp.arange(n_pad) < n
+            valid = jnp.arange(n_pad, dtype=jnp.int32) < n
             par_pad = jnp.zeros((n_pad, p["par"].shape[1]), dtype
                                 ).at[:n].set(p["par"])
             b = box if periodic else None
             computed = {}   # name -> (n_pad,)
-            starts = jnp.arange(0, n_pad, chunk)
+            starts = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
 
             def pair_env(r, gi, start, no_excl, prev_values):
                 """Env for a (chunk, n_pad) pair expression."""
@@ -180,7 +180,7 @@ class CustomGBForce(Force, _CustomMixin):
                 return env
 
             def pair_mask(r2, gi, start, no_excl):
-                gj = jnp.arange(n_pad)
+                gj = jnp.arange(n_pad, dtype=jnp.int32)
                 mask = (gi[:, None] != gj[None, :]) & valid[None, :] \
                     & (gi[:, None] < n)
                 if use_cutoff:
@@ -214,7 +214,7 @@ class CustomGBForce(Force, _CustomMixin):
                                _prev=prev):
                         pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0),
                                                       (chunk, 3))
-                        gi = start + jnp.arange(chunk)
+                        gi = start + jnp.arange(chunk, dtype=jnp.int32)
                         dr = pos_i[:, None, :] - pos_pad[None, :, :]
                         if b is not None:
                             dr = geom.periodic_delta(dr, b)
@@ -253,14 +253,14 @@ class CustomGBForce(Force, _CustomMixin):
                     def row_fn2(start, _expr_fn=expr_fn, _no_excl=no_excl):
                         pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0),
                                                       (chunk, 3))
-                        gi = start + jnp.arange(chunk)
+                        gi = start + jnp.arange(chunk, dtype=jnp.int32)
                         dr = pos_i[:, None, :] - pos_pad[None, :, :]
                         if b is not None:
                             dr = geom.periodic_delta(dr, b)
                         r2 = jnp.sum(dr * dr, -1)
                         mask = pair_mask(r2, gi, start, _no_excl)
                         # i < j half to avoid double counting
-                        gj = jnp.arange(n_pad)
+                        gj = jnp.arange(n_pad, dtype=jnp.int32)
                         mask = mask & (gj[None, :] > gi[:, None])
                         r = jnp.sqrt(jnp.where(mask, r2, 1.0))
                         env = pair_env(r, gi, start, _no_excl, computed)

@@ -134,7 +134,7 @@ class GBSAOBCForce(Force):
             radius = pad(p["radius"], 0.15)
             scale = pad(p["scale"])
             pos_pad = jnp.zeros((n_pad, 3), pos.dtype).at[:n].set(pos)
-            valid = jnp.arange(n_pad) < n
+            valid = jnp.arange(n_pad, dtype=jnp.int32) < n
             offset_r = radius - DIELECTRIC_OFFSET
             scaled_r = offset_r * scale
             b = box if periodic else None
@@ -143,12 +143,12 @@ class GBSAOBCForce(Force):
             def row_chunk(start):
                 pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0), (chunk, 3))
                 off_i = jax.lax.dynamic_slice_in_dim(offset_r, start, chunk)
-                gi = start + jnp.arange(chunk)
+                gi = start + jnp.arange(chunk, dtype=jnp.int32)
                 dr = pos_i[:, None, :] - pos_pad[None, :, :]
                 if b is not None:
                     dr = geom.periodic_delta(dr, b)
                 r2 = jnp.sum(dr * dr, -1)
-                mask = (gi[:, None] != jnp.arange(n_pad)[None, :]) \
+                mask = (gi[:, None] != jnp.arange(n_pad, dtype=jnp.int32)[None, :]) \
                     & valid[None, :] & (gi[:, None] < n)
                 if use_cutoff:
                     mask = mask & (r2 < cutoff * cutoff)
@@ -171,7 +171,7 @@ class GBSAOBCForce(Force):
                     inside, 2.0 * (1.0 / off_i[:, None] - l_ij), 0.0)
                 return jnp.sum(jnp.where(contributes, term, 0.0), axis=1)
 
-            starts = jnp.arange(0, n_pad, chunk)
+            starts = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
 
             def scan_body(_, start):
                 return None, jax.checkpoint(row_chunk)(start)
@@ -196,12 +196,12 @@ class GBSAOBCForce(Force):
                 pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0), (chunk, 3))
                 q_i = jax.lax.dynamic_slice_in_dim(qp, start, chunk)
                 b_i = jax.lax.dynamic_slice_in_dim(born, start, chunk)
-                gi = start + jnp.arange(chunk)
+                gi = start + jnp.arange(chunk, dtype=jnp.int32)
                 dr = pos_i[:, None, :] - pos_pad[None, :, :]
                 if b is not None:
                     dr = geom.periodic_delta(dr, b)
                 r2 = jnp.sum(dr * dr, -1)
-                gj = jnp.arange(n_pad)
+                gj = jnp.arange(n_pad, dtype=jnp.int32)
                 # strictly upper pairs + diagonal self term handled via i<=j
                 mask = (gj[None, :] > gi[:, None]) & valid[None, :] \
                     & (gi[:, None] < n)

@@ -99,7 +99,7 @@ def pair_energy_n2(pos, box, pair_fn, per_atom, exclusions, n_real,
         return acc + tile_energy(bi_arr[idx], bj_arr[idx]), None
 
     total, _ = jax.lax.scan(body, jnp.zeros((), accum_dtype),
-                            jnp.arange(bi_arr.shape[0]))
+                            jnp.arange(bi_arr.shape[0], dtype=jnp.int32))
     return total
 
 

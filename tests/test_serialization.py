@@ -1,0 +1,133 @@
+"""XML serialization round-trip tests (pattern of serialization/tests/)."""
+import math
+
+import numpy as np
+import pytest
+
+import openmm_tpu as mm
+from openmm_tpu import unit as u
+from openmm_tpu.serialization import XmlSerializer
+
+from helpers import reference_platform
+
+
+def _energy(system, positions):
+    ctx = mm.Context(system, mm.VerletIntegrator(0.001), reference_platform())
+    ctx.setPositions(positions)
+    return ctx.getState(getEnergy=True).getPotentialEnergy()._value
+
+
+def test_system_roundtrip():
+    from openmm_tpu.models import tip3p_water_box
+    system, positions = tip3p_water_box(n_waters=8)
+    hb = mm.HarmonicBondForce()
+    hb.addBond(0, 3, 0.5, 100.0)
+    system.addForce(hb)
+    xml = XmlSerializer.serialize(system)
+    system2 = XmlSerializer.deserialize(xml)
+    assert system2.getNumParticles() == system.getNumParticles()
+    assert system2.getNumConstraints() == system.getNumConstraints()
+    assert system2.getNumForces() == system.getNumForces()
+    e1 = _energy(system, positions)
+    e2 = _energy(system2, positions)
+    assert abs(e1 - e2) < 1e-6 * max(1.0, abs(e1))
+
+
+def test_virtual_site_roundtrip():
+    system = mm.System()
+    for _ in range(3):
+        system.addParticle(1.0)
+    system.addParticle(0.0)
+    system.setVirtualSite(3, mm.TwoParticleAverageSite(0, 1, 0.4, 0.6))
+    xml = XmlSerializer.serialize(system)
+    system2 = XmlSerializer.deserialize(xml)
+    assert system2.isVirtualSite(3)
+    vs = system2.getVirtualSite(3)
+    assert vs.getParticle(0) == 0 and vs.getParticle(1) == 1
+    assert abs(vs.getWeight(0) - 0.4) < 1e-12
+
+
+def test_custom_forces_roundtrip():
+    system = mm.System()
+    system.addParticle(1.0)
+    system.addParticle(1.0)
+    cb = mm.CustomBondForce("k*(r-r0)^2")
+    cb.addGlobalParameter("k", 10.0)
+    cb.addPerBondParameter("r0")
+    cb.addBond(0, 1, [1.1])
+    system.addForce(cb)
+    cnb = mm.CustomNonbondedForce("a1*a2/r")
+    cnb.addPerParticleParameter("a")
+    cnb.addParticle([1.0])
+    cnb.addParticle([2.0])
+    cnb.addExclusion(0, 1)
+    system.addForce(cnb)
+    xml = XmlSerializer.serialize(system)
+    system2 = XmlSerializer.deserialize(xml)
+    cb2 = system2.getForce(0)
+    assert cb2.getEnergyFunction() == "k*(r-r0)^2"
+    assert cb2.getNumBonds() == 1
+    cnb2 = system2.getForce(1)
+    assert cnb2.getNumExclusions() == 1
+
+
+def test_integrator_roundtrip():
+    integ = mm.LangevinMiddleIntegrator(310.0, 2.0, 0.004)
+    integ.setConstraintTolerance(1e-6)
+    xml = XmlSerializer.serialize(integ)
+    integ2 = XmlSerializer.deserialize(xml)
+    assert type(integ2) is mm.LangevinMiddleIntegrator
+    assert abs(integ2.getTemperature()._value - 310.0) < 1e-10
+    assert abs(integ2.getStepSize()._value - 0.004) < 1e-12
+    assert abs(integ2.getConstraintTolerance() - 1e-6) < 1e-15
+
+
+def test_state_roundtrip():
+    system = mm.System()
+    system.addParticle(1.0)
+    system.addParticle(2.0)
+    nb = mm.NonbondedForce()
+    nb.addParticle(0.5, 0.3, 0.5)
+    nb.addParticle(-0.5, 0.3, 0.5)
+    system.addForce(nb)
+    ctx = mm.Context(system, mm.VerletIntegrator(0.002), reference_platform())
+    ctx.setPositions([mm.Vec3(0, 0, 0), mm.Vec3(1, 0, 0)])
+    ctx.setVelocities([mm.Vec3(0.1, 0, 0), mm.Vec3(0, 0.2, 0)])
+    ctx.setTime(3.5)
+    st = ctx.getState(getPositions=True, getVelocities=True, getEnergy=True,
+                      getParameters=True)
+    xml = XmlSerializer.serialize(st)
+    st2 = XmlSerializer.deserialize(xml)
+    assert abs(st2.getTime()._value - 3.5) < 1e-10
+    p1 = st.getPositions(asNumpy=True)._value
+    p2 = st2.getPositions(asNumpy=True)._value
+    assert np.max(np.abs(p1 - p2)) < 1e-12
+    assert abs(st.getPotentialEnergy()._value
+               - st2.getPotentialEnergy()._value) < 1e-10
+    # restore into a fresh context
+    ctx2 = mm.Context(system, mm.VerletIntegrator(0.002), reference_platform())
+    ctx2.setState(st2)
+    assert abs(ctx2.getTime()._value - 3.5) < 1e-10
+
+
+def test_simulation_save_state(tmp_path):
+    from openmm_tpu.app import Simulation, Topology, Element
+    system = mm.System()
+    system.addParticle(1.0)
+    nb = mm.NonbondedForce()
+    nb.addParticle(0.0, 0.3, 0.1)
+    system.addForce(nb)
+    top = Topology()
+    ch = top.addChain()
+    res = top.addResidue("UNK", ch)
+    top.addAtom("X", Element.getBySymbol("C"), res)
+    sim = Simulation(top, system, mm.VerletIntegrator(0.001),
+                     mm.Platform.getPlatformByName("Reference"))
+    sim.context.setPositions([mm.Vec3(0.5, 0.5, 0.5)])
+    sim.step(7)
+    path = str(tmp_path / "state.xml")
+    sim.saveState(path)
+    sim2 = Simulation(top, system, mm.VerletIntegrator(0.001),
+                      mm.Platform.getPlatformByName("Reference"))
+    sim2.loadState(path)
+    assert sim2.context.getStepCount() == 7
