@@ -196,6 +196,8 @@ class Context(object):
             for i, m in enumerate(self._modules):
                 if m.init_aux is not None:
                     self._state["faux"][str(i)] = m.init_aux(self._deps)
+            # integrator-local variables (chain positions, custom variables...)
+            self._state["aux"] = integrator._init_aux(self._deps)
         self._sync_integrator_params()
         self._step_fn_cache = {}
         self._ef_fn_cache = {}
@@ -432,11 +434,14 @@ class Context(object):
             k: jnp.asarray(v, self._dtype) for k, v in ip.items()}
 
     def _step(self, n_steps):
+        self._step_with_cache_key(n_steps, extra_key=None)
+
+    def _step_with_cache_key(self, n_steps, extra_key=None):
         import jax
         if not self._positions_set:
             raise OpenMMException("Particle positions have not been set")
         groups = self._integrator.getIntegrationForceGroups()
-        cache_key = ("step", groups)
+        cache_key = ("step", groups, extra_key)
         if cache_key not in self._step_fn_cache:
             deps = self._deps_for_groups(groups)
             deps.update_hooks = self._deps.update_hooks

@@ -12,9 +12,16 @@ from .verlet import VerletIntegrator
 from .langevin import (LangevinIntegrator, LangevinMiddleIntegrator,
                        BrownianIntegrator)
 from .variable import VariableVerletIntegrator, VariableLangevinIntegrator
+from .nose_hoover import NoseHooverIntegrator
+from .custom import CustomIntegrator
+from .compound import CompoundIntegrator
+from .mts import MTSIntegrator, MTSLangevinIntegrator
+from .amd import AMDIntegrator, AMDForceGroupIntegrator, DualAMDIntegrator
 
 __all__ = [
     "Integrator", "StepDeps", "VerletIntegrator", "LangevinIntegrator",
     "LangevinMiddleIntegrator", "BrownianIntegrator", "VariableVerletIntegrator",
-    "VariableLangevinIntegrator",
+    "VariableLangevinIntegrator", "NoseHooverIntegrator", "CustomIntegrator",
+    "CompoundIntegrator", "MTSIntegrator", "MTSLangevinIntegrator",
+    "AMDIntegrator", "AMDForceGroupIntegrator", "DualAMDIntegrator",
 ]
