@@ -22,6 +22,8 @@ from .customhbond import CustomHbondForce
 from .customcv import CustomCVForce
 from .gbsa import GBSAOBCForce
 from .rmsd import RMSDForce
+from .gayberne import GayBerneForce
+from .custommanyparticle import CustomManyParticleForce
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -36,7 +38,8 @@ __all__ = [
     "CustomExternalForce", "CustomBondForce", "CustomAngleForce",
     "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",
     "CustomCentroidBondForce", "CustomGBForce", "CustomHbondForce",
-    "CustomCVForce", "GBSAOBCForce", "RMSDForce",
+    "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
+    "CustomManyParticleForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",

@@ -1,0 +1,237 @@
+"""CustomManyParticleForce: N-body interactions (Stillinger-Weber,
+Axilrod-Teller, ...) with type filters and permutation modes.
+
+API per openmmapi/include/openmm/CustomManyParticleForce.h (225 LoC API +
+351 impl). This round enumerates candidate particle tuples at compile time
+(host side, honoring type filters and the permutation mode) and evaluates
+them as one vectorized sweep with distance-based masking — appropriate for
+the moderate system sizes these forces target; a neighbor-driven tuple list
+is a later optimization.
+"""
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import unit as u
+from ..exceptions import OpenMMException
+from ..expressions import compile_energy_expression
+from ..ops import geometry as geom
+from .base import CompiledForce, Force
+from .custom import _CustomMixin, _point_functions
+
+
+class CustomManyParticleForce(Force, _CustomMixin):
+    NoCutoff = 0
+    CutoffNonPeriodic = 1
+    CutoffPeriodic = 2
+    SinglePermutation = 0
+    UniqueCentralParticle = 1
+
+    def __init__(self, particlesPerSet, energy):
+        super().__init__()
+        self._init_custom(energy)
+        self._n_per_set = int(particlesPerSet)
+        self._per_particle = []
+        self._particles = []       # (params, type)
+        self._exclusions = []
+        self._type_filters = {}    # position -> set of allowed types
+        self._mode = CustomManyParticleForce.SinglePermutation
+        self._method = CustomManyParticleForce.NoCutoff
+        self._cutoff = 1.0
+
+    def getNumParticlesPerSet(self):
+        return self._n_per_set
+
+    def getNumPerParticleParameters(self):
+        return len(self._per_particle)
+
+    def addPerParticleParameter(self, name):
+        self._per_particle.append(str(name))
+        return len(self._per_particle) - 1
+
+    def getPerParticleParameterName(self, index):
+        return self._per_particle[index]
+
+    def getNumParticles(self):
+        return len(self._particles)
+
+    def addParticle(self, parameters=(), type=0):  # noqa: A002
+        self._particles.append(([float(u.strip(p)) for p in parameters],
+                                int(type)))
+        return len(self._particles) - 1
+
+    def getParticleParameters(self, index):
+        params, t = self._particles[index]
+        return list(params), t
+
+    def setParticleParameters(self, index, parameters=(), type=0):  # noqa: A002
+        self._particles[index] = ([float(u.strip(p)) for p in parameters],
+                                  int(type))
+
+    def getTypeFilter(self, index):
+        return sorted(self._type_filters.get(index, set()))
+
+    def setTypeFilter(self, index, types):
+        self._type_filters[int(index)] = set(int(t) for t in types)
+
+    def getNumExclusions(self):
+        return len(self._exclusions)
+
+    def addExclusion(self, particle1, particle2):
+        self._exclusions.append((int(particle1), int(particle2)))
+        return len(self._exclusions) - 1
+
+    def getExclusionParticles(self, index):
+        return self._exclusions[index]
+
+    def getPermutationMode(self):
+        return self._mode
+
+    def setPermutationMode(self, mode):
+        self._mode = int(mode)
+
+    def getNonbondedMethod(self):
+        return self._method
+
+    def setNonbondedMethod(self, method):
+        self._method = int(method)
+
+    def getCutoffDistance(self):
+        return u.Quantity(self._cutoff, u.nanometer)
+
+    def setCutoffDistance(self, distance):
+        self._cutoff = float(u.strip(distance, u.nanometer))
+
+    def usesPeriodicBoundaryConditions(self):
+        return self._method == CustomManyParticleForce.CutoffPeriodic
+
+    def updateParametersInContext(self, context):
+        context._update_force_parameters(self)
+
+    def _pack_params(self, cfg):
+        n = len(self._particles)
+        npar = len(self._per_particle)
+        par = (np.asarray([p[0] for p in self._particles], np.float64)
+               .astype(cfg.dtype) if n and npar
+               else np.zeros((n, npar), cfg.dtype))
+        return {"par": jnp.asarray(par)}
+
+    def _enumerate_tuples(self):
+        n = len(self._particles)
+        k = self._n_per_set
+        types = [p[1] for p in self._particles]
+        excluded = set()
+        for (a, b) in self._exclusions:
+            excluded.add((min(a, b), max(a, b)))
+
+        def allowed(tup):
+            for a, b in itertools.combinations(tup, 2):
+                if (min(a, b), max(a, b)) in excluded:
+                    return False
+            return True
+
+        def type_ok(tup):
+            """Some assignment of tuple particles to filter slots exists."""
+            if not self._type_filters:
+                return True
+            for perm in itertools.permutations(tup):
+                ok = True
+                for pos, particle in enumerate(perm):
+                    filt = self._type_filters.get(pos)
+                    if filt and types[particle] not in filt:
+                        ok = False
+                        break
+                if ok:
+                    return perm
+            return None
+
+        tuples = []
+        if self._mode == CustomManyParticleForce.SinglePermutation:
+            for tup in itertools.combinations(range(n), k):
+                if not allowed(tup):
+                    continue
+                perm = type_ok(tup)
+                if perm is True:
+                    tuples.append(tup)
+                elif perm:
+                    tuples.append(perm)
+        else:  # UniqueCentralParticle: central particle is slot 0
+            for center in range(n):
+                filt0 = self._type_filters.get(0)
+                if filt0 and types[center] not in filt0:
+                    continue
+                others = [i for i in range(n) if i != center]
+                for rest in itertools.combinations(others, k - 1):
+                    tup = (center,) + rest
+                    if not allowed(tup):
+                        continue
+                    if self._type_filters:
+                        ok = all(
+                            (self._type_filters.get(pos) is None
+                             or not self._type_filters.get(pos)
+                             or types[p] in self._type_filters[pos])
+                            for pos, p in enumerate(tup))
+                        if not ok:
+                            continue
+                    tuples.append(tup)
+        if len(tuples) > 8_000_000:
+            raise OpenMMException(
+                "CustomManyParticleForce: too many particle sets (%d); "
+                "neighbor-list tuple enumeration not yet implemented"
+                % len(tuples))
+        return np.asarray(tuples, np.int32).reshape(-1, k)
+
+    def _compile(self, system, cfg):
+        k = self._n_per_set
+        tuples = self._enumerate_tuples()
+        idx = jnp.asarray(tuples)
+        params = self._pack_params(cfg)
+        base_fns = self._compiled_functions(cfg.dtype)
+        names = list(self._per_particle)
+        periodic = self._method == CustomManyParticleForce.CutoffPeriodic
+        use_cutoff = self._method != CustomManyParticleForce.NoCutoff
+        cutoff = self._cutoff
+        expr = self._energy_expr
+        n_t = tuples.shape[0]
+
+        def energy_fn(pos, box, p, gp):
+            if n_t == 0:
+                return jnp.zeros((), cfg.accum_dtype)
+            b = box if periodic else None
+            fns = dict(base_fns)
+            fns.update(_point_functions(b))
+            expr_fn = compile_energy_expression(expr, fns)
+            env = {}
+            coords = []
+            for slot in range(k):
+                xyz = pos[idx[:, slot]]
+                coords.append(xyz)
+                env["p%d" % (slot + 1)] = xyz
+                env["x%d" % (slot + 1)] = xyz[:, 0]
+                env["y%d" % (slot + 1)] = xyz[:, 1]
+                env["z%d" % (slot + 1)] = xyz[:, 2]
+            for kk, name in enumerate(names):
+                for slot in range(k):
+                    env[name + str(slot + 1)] = p["par"][idx[:, slot], kk]
+            for kk, v in gp.items():
+                env[kk] = v
+            e = jnp.broadcast_to(expr_fn(env), (n_t,))
+            if use_cutoff:
+                # every particle within cutoff of the FIRST (central) one
+                ok = jnp.ones(n_t, bool)
+                for slot in range(1, k):
+                    d = coords[slot] - coords[0]
+                    if b is not None:
+                        d = geom.periodic_delta(d, b)
+                    ok = ok & (jnp.sum(d * d, -1) < cutoff * cutoff)
+                e = jnp.where(ok, e, 0.0)
+            return jnp.sum(e.astype(cfg.accum_dtype))
+
+        return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
+                             params=params, energy_fn=energy_fn,
+                             uses_pbc=periodic,
+                             global_defaults=self._gp_defaults(),
+                             requested_derivs=tuple(self._deriv_requests))
