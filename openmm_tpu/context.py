@@ -116,11 +116,13 @@ class Context(object):
                     "A constraint cannot involve a massless particle")
 
         # --- compile forces -------------------------------------------------
+        from .parallel import get_default_mesh
         cfg = CompileConfig(
             n_particles=n, dtype=self._dtype, accum_dtype=self._accum_dtype,
             masses=masses, uses_pbc=system.usesPeriodicBoundaryConditions(),
             platform_name=pname,
-            pair_block=256 if pname != "Reference" else 128)
+            pair_block=256 if pname != "Reference" else 128,
+            mesh=get_default_mesh())
         self._cfg = cfg
         self._modules = []
         self._module_force = []   # parallel list: owning Force object

@@ -29,6 +29,8 @@ class CompileConfig:
     # neighbor-list / tiling configuration for pairwise forces
     pair_block: int = 128           # tile edge for blocked N^2 / neighbor tiles
     use_neighbor_list: bool = True
+    # device mesh for sharded pairwise sweeps (parallel/mesh.py); None = local
+    mesh: Any = None
 
 
 @dataclass

@@ -588,7 +588,8 @@ class NonbondedForce(Force):
             }
             e = pairs_mod.pair_energy_n2(
                 pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
-                block=block, periodic=periodic, accum_dtype=accum)
+                block=block, periodic=periodic, accum_dtype=accum,
+                mesh=cfg.mesh)
             e = e + exception_energy(pos, box, p, gp)
             if is_ewald_family:
                 e = e + exclusion_correction(pos, box, charge, gp)

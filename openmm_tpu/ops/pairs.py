@@ -48,7 +48,8 @@ def _upper_triangle_block_pairs(n_blocks):
 
 
 def pair_energy_n2(pos, box, pair_fn, per_atom, exclusions, n_real,
-                   block=256, periodic=False, accum_dtype=jnp.float32):
+                   block=256, periodic=False, accum_dtype=jnp.float32,
+                   mesh=None):
     """Sum pair_fn over all unordered pairs (i < j), skipping exclusions.
 
     pos:        (Np, 3) padded positions
@@ -94,6 +95,11 @@ def pair_energy_n2(pos, box, pair_fn, per_atom, exclusions, n_real,
         e = pair_fn(r2_safe, par_i, par_j)
         e = jnp.where(mask, e, 0.0)
         return jnp.sum(e.astype(accum_dtype))
+
+    if mesh is not None:
+        from ..parallel.mesh import sharded_pair_energy
+        return sharded_pair_energy(mesh, tile_energy, bi_arr, bj_arr,
+                                   accum_dtype)
 
     def body(acc, idx):
         return acc + tile_energy(bi_arr[idx], bj_arr[idx]), None
