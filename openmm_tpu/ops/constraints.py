@@ -180,6 +180,17 @@ def make_settle(settle_clusters, masses, dtype):
     m1 = jnp.asarray(m[arr[:, 1]].astype(dtype))
     m2 = jnp.asarray(m[arr[:, 2]].astype(dtype))
 
+    # scatter-free writeback: XLA scatters are very slow on TPU, so the
+    # update is a concat + gather with a precomputed selection permutation
+    # (each atom appears in at most one cluster)
+    n_atoms = len(masses)
+    n_clusters = arr.shape[0]
+    sel_np = np.arange(n_atoms, dtype=np.int32)
+    for col in range(3):
+        sel_np[arr[:, col]] = n_atoms + col * n_clusters \
+            + np.arange(n_clusters, dtype=np.int32)
+    sel = jnp.asarray(sel_np)
+
     def apply_positions(ref_pos, new_pos):
         a0 = ref_pos[idx[:, 0]]
         a1 = ref_pos[idx[:, 1]]
@@ -188,10 +199,7 @@ def make_settle(settle_clusters, masses, dtype):
         p1 = new_pos[idx[:, 1]]
         p2 = new_pos[idx[:, 2]]
         n0, n1, n2 = _settle_batch(a0, a1, a2, p0, p1, p2, m0, m1, m2, d1j, d2j)
-        out = new_pos.at[idx[:, 0]].set(n0)
-        out = out.at[idx[:, 1]].set(n1)
-        out = out.at[idx[:, 2]].set(n2)
-        return out
+        return jnp.concatenate([new_pos, n0, n1, n2])[sel]
 
     def apply_velocities(pos, vel):
         """Exact velocity constraints per cluster: solve the 3x3 system
@@ -229,10 +237,7 @@ def make_settle(settle_clusters, masses, dtype):
         dv0 = (-lam[:, 0:1] * eab - lam[:, 1:2] * eac) * w0[:, None]
         dv1 = (lam[:, 0:1] * eab - lam[:, 2:3] * ebc) * w1[:, None]
         dv2 = (lam[:, 1:2] * eac + lam[:, 2:3] * ebc) * w2[:, None]
-        out = vel.at[idx[:, 0]].add(dv0)
-        out = out.at[idx[:, 1]].add(dv1)
-        out = out.at[idx[:, 2]].add(dv2)
-        return out
+        return jnp.concatenate([vel, v0 + dv0, v1 + dv1, v2 + dv2])[sel]
 
     return apply_positions, apply_velocities
 
@@ -307,12 +312,17 @@ def _ccma_coupling_matrix(cons, masses, angles):
     return K
 
 
-def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=150,
+def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=40,
               sparsify_cutoff=0.02):
-    """Returns (apply_positions, apply_velocities) for general constraints."""
+    """Returns (apply_positions, apply_velocities) for general constraints.
+
+    Scatter-free: per-atom gather tables map constraint corrections back to
+    atoms (XLA scatters are very slow on TPU); the sparse inverse coupling
+    matrix is applied as fixed-width gathered rows."""
     if not cons:
         return None
     n = len(cons)
+    n_atoms = len(masses)
     idx = np.asarray([(c[0], c[1]) for c in cons], np.int32)
     d0 = np.asarray([c[2] for c in cons])
     inv_m = np.array([0.0 if m == 0 else 1.0 / m for m in masses])
@@ -330,17 +340,37 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=150,
         cols[r, :len(nz)] = nz
         vals[r, :len(nz)] = K_inv[r, nz]
 
+    # per-atom gather tables: constraints touching each atom, with the sign
+    # of the correction (-1 when the atom is the i side, +1 for the j side)
+    per_atom = [[] for _ in range(n_atoms)]
+    for c, (i, j) in enumerate(idx):
+        per_atom[i].append((c, -1.0))
+        per_atom[j].append((c, 1.0))
+    kmax = max(1, max(len(x) for x in per_atom))
+    atom_cons = np.zeros((n_atoms, kmax), np.int32)
+    atom_sign = np.zeros((n_atoms, kmax))
+    for a, lst in enumerate(per_atom):
+        for k, (c, s) in enumerate(lst):
+            atom_cons[a, k] = c
+            atom_sign[a, k] = s
+
     idx_j = jnp.asarray(idx)
     d0_j = jnp.asarray(d0.astype(dtype))
     red_m_j = jnp.asarray(red_m.astype(dtype))
     inv_m_j = jnp.asarray(inv_m.astype(dtype))
     cols_j = jnp.asarray(cols)
     vals_j = jnp.asarray(vals.astype(dtype))
-    w0 = inv_m_j[idx[:, 0]]
-    w1 = inv_m_j[idx[:, 1]]
+    atom_cons_j = jnp.asarray(atom_cons)
+    atom_sign_j = jnp.asarray(atom_sign.astype(dtype))
 
     def sparse_apply(delta):
         return jnp.sum(vals_j * delta[cols_j], axis=1)
+
+    def distribute(dr):
+        """(C,3) constraint corrections -> (N,3) per-atom deltas (gathers)."""
+        contrib = dr[atom_cons_j]                      # (N, K, 3)
+        return inv_m_j[:, None] * jnp.sum(
+            atom_sign_j[:, :, None] * contrib, axis=1)
 
     def apply_positions(ref_pos, new_pos):
         """Iterate: lambda = Kinv @ violation, apply along REFERENCE directions
@@ -355,9 +385,7 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=150,
             rrpr = jnp.sum(r_ref * rp, axis=-1)
             g = diff * red_m_j / rrpr
             lam = sparse_apply(g)
-            dr = r_ref * lam[:, None]
-            pos = pos.at[idx_j[:, 0]].add(-dr * w0[:, None])
-            pos = pos.at[idx_j[:, 1]].add(dr * w1[:, None])
+            pos = pos + distribute(r_ref * lam[:, None])
             return pos, None
 
         out, _ = jax.lax.scan(body, new_pos, None, length=max_iter)
@@ -372,9 +400,7 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=150,
             r2 = jnp.sum(r * r, axis=-1)
             g = rv * red_m_j * 2.0 / r2
             lam = sparse_apply(g)
-            dr = r * lam[:, None]
-            v = v.at[idx_j[:, 0]].add(-dr * w0[:, None])
-            v = v.at[idx_j[:, 1]].add(dr * w1[:, None])
+            v = v + distribute(r * lam[:, None])
             return v, None
 
         out, _ = jax.lax.scan(body, vel, None, length=max_iter)

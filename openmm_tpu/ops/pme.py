@@ -153,6 +153,65 @@ def make_pme_recip_data(grid, order, dtype=np.float64):
     }
 
 
+def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
+                         atom_chunk=4096):
+    """Scatter-free B-spline charge spreading for TPU.
+
+    The sparse scatter (125 points/atom) is recast as dense per-axis weight
+    matrices contracted on the MXU: Q[x,y,z] = sum_i q_i Wx[i,x] Wy[i,y]
+    Wz[i,z], evaluated per atom chunk as one einsum. This trades ~G^3/125x
+    more FLOPs for the elimination of XLA scatter (which serializes on TPU) —
+    a large win for MD-sized grids; the reverse-mode gradient is the matching
+    dense gather automatically.
+    """
+    nx, ny, nz = grid
+    n = pos.shape[0]
+    sizes = jnp.array([nx, ny, nz], dtype)
+    frac = pos @ box_inv.astype(pos.dtype)
+    frac = frac - jnp.floor(frac)
+    u = frac * sizes
+    base = jnp.floor(u)
+    t = u - base
+    w = bspline_weights(t, order)               # (N,3,order)
+    base = base.astype(jnp.int32)
+    offs = jnp.arange(order, dtype=jnp.int32)
+
+    def axis_weights(axis, n_axis):
+        g = jnp.mod(base[:, axis:axis + 1] + offs[None, :] - (order - 1),
+                    n_axis)                      # (N, order)
+        onehot = (g[:, :, None]
+                  == jnp.arange(n_axis, dtype=jnp.int32)[None, None, :])
+        return jnp.sum(w[:, axis, :, None] * onehot, axis=1)  # (N, n_axis)
+
+    Wx = axis_weights(0, nx)
+    Wy = axis_weights(1, ny)
+    Wz = axis_weights(2, nz)
+    A = charges[:, None].astype(dtype) * Wx.astype(dtype)
+
+    n_chunks = max(1, -(-n // atom_chunk))
+    if n_chunks == 1:
+        C = Wy[:, :, None] * Wz[:, None, :]
+        return jnp.einsum("ix,iyz->xyz", A, C.astype(dtype),
+                          preferred_element_type=dtype)
+    pad = n_chunks * atom_chunk - n
+    A_p = jnp.concatenate([A, jnp.zeros((pad, nx), dtype)])
+    Wy_p = jnp.concatenate([Wy, jnp.zeros((pad, ny), dtype)])
+    Wz_p = jnp.concatenate([Wz, jnp.zeros((pad, nz), dtype)])
+    A_c = A_p.reshape(n_chunks, atom_chunk, nx)
+    Wy_c = Wy_p.reshape(n_chunks, atom_chunk, ny)
+    Wz_c = Wz_p.reshape(n_chunks, atom_chunk, nz)
+
+    def body(acc, xs):
+        a, wy, wz = xs
+        C = wy[:, :, None] * wz[:, None, :]
+        return acc + jnp.einsum("ix,iyz->xyz", a, C,
+                                preferred_element_type=dtype), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((nx, ny, nz), dtype),
+                          (A_c, Wy_c, Wz_c))
+    return out
+
+
 def spread_charges(pos, charges, box_inv, grid, order, dtype):
     """Scatter B-spline-weighted charges onto the (nx, ny, nz) grid.
 
@@ -215,7 +274,7 @@ def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,
     box_inv = geom.box_inverse(box)
     vol = geom.box_volume(box)
     q = charges if coulomb else c6s
-    Q = spread_charges(pos, q, box_inv, grid, order, dtype)
+    Q = spread_charges_dense(pos, q, box_inv, grid, order, dtype)
     FQ = jnp.fft.fftn(Q)
     sq = (FQ * jnp.conj(FQ)).real.astype(accum_dtype)
     kvec = _k_vectors(grid, box_inv, accum_dtype)
