@@ -11,11 +11,17 @@ from .dcdreporter import DCDReporter, DCDFile
 from .pdbreporter import PDBReporter
 from .checkpointreporter import CheckpointReporter
 from .modeller import Modeller
+from .metadynamics import Metadynamics, BiasVariable
+from .simulatedtempering import SimulatedTempering
+from .amberprmtopfile import AmberPrmtopFile
+from .amberinpcrdfile import AmberInpcrdFile
 
 __all__ = [
     "Element", "Topology", "Chain", "Residue", "Atom", "PDBFile",
     "ForceField", "Simulation", "StateDataReporter", "DCDReporter", "DCDFile",
     "PDBReporter", "CheckpointReporter", "Modeller",
+    "Metadynamics", "BiasVariable", "SimulatedTempering",
+    "AmberPrmtopFile", "AmberInpcrdFile",
     "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
     "CutoffPeriodic", "Ewald", "PME", "LJPME",
 ]

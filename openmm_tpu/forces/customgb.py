@@ -167,7 +167,7 @@ class CustomGBForce(Force, _CustomMixin):
                 """Env for a (chunk, n_pad) pair expression."""
                 env = {"r": r}
                 par_i = jax.lax.dynamic_slice(
-                    par_pad, (start, 0), (chunk, par_pad.shape[1]))
+                    par_pad, (start, jnp.zeros((), start.dtype)), (chunk, par_pad.shape[1]))
                 for k, name in enumerate(names):
                     env[name + "1"] = par_i[:, k][:, None]
                     env[name + "2"] = par_pad[None, :, k]
@@ -187,7 +187,7 @@ class CustomGBForce(Force, _CustomMixin):
                     mask = mask & (r2 < cutoff * cutoff)
                 if not no_excl:
                     excl_i = jax.lax.dynamic_slice(
-                        exclusions, (start, 0), (chunk, exclusions.shape[1]))
+                        exclusions, (start, jnp.zeros((), start.dtype)), (chunk, exclusions.shape[1]))
                     is_excl = jnp.any(excl_i[:, :, None] == gj[None, None, :],
                                       axis=1)
                     mask = mask & ~is_excl
@@ -212,8 +212,9 @@ class CustomGBForce(Force, _CustomMixin):
 
                     def row_fn(start, _expr_fn=expr_fn, _no_excl=no_excl,
                                _prev=prev):
-                        pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0),
-                                                      (chunk, 3))
+                        pos_i = jax.lax.dynamic_slice(
+                            pos_pad, (start, jnp.zeros((), start.dtype)),
+                            (chunk, 3))
                         gi = start + jnp.arange(chunk, dtype=jnp.int32)
                         dr = pos_i[:, None, :] - pos_pad[None, :, :]
                         if b is not None:
@@ -251,8 +252,9 @@ class CustomGBForce(Force, _CustomMixin):
                     no_excl = etype == CustomGBForce.ParticlePairNoExclusions
 
                     def row_fn2(start, _expr_fn=expr_fn, _no_excl=no_excl):
-                        pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0),
-                                                      (chunk, 3))
+                        pos_i = jax.lax.dynamic_slice(
+                            pos_pad, (start, jnp.zeros((), start.dtype)),
+                            (chunk, 3))
                         gi = start + jnp.arange(chunk, dtype=jnp.int32)
                         dr = pos_i[:, None, :] - pos_pad[None, :, :]
                         if b is not None:

@@ -141,7 +141,7 @@ class GBSAOBCForce(Force):
 
             # ---- pass 1: HCT integral sums -> Born radii -----------------
             def row_chunk(start):
-                pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0), (chunk, 3))
+                pos_i = jax.lax.dynamic_slice(pos_pad, (start, jnp.zeros((), start.dtype)), (chunk, 3))
                 off_i = jax.lax.dynamic_slice_in_dim(offset_r, start, chunk)
                 gi = start + jnp.arange(chunk, dtype=jnp.int32)
                 dr = pos_i[:, None, :] - pos_pad[None, :, :]
@@ -193,7 +193,7 @@ class GBSAOBCForce(Force):
             qp = pre_factor * charge
 
             def row_chunk2(start):
-                pos_i = jax.lax.dynamic_slice(pos_pad, (start, 0), (chunk, 3))
+                pos_i = jax.lax.dynamic_slice(pos_pad, (start, jnp.zeros((), start.dtype)), (chunk, 3))
                 q_i = jax.lax.dynamic_slice_in_dim(qp, start, chunk)
                 b_i = jax.lax.dynamic_slice_in_dim(born, start, chunk)
                 gi = start + jnp.arange(chunk, dtype=jnp.int32)

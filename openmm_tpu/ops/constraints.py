@@ -56,7 +56,7 @@ def partition_constraints(constraints, masses):
             c_jk = partners_j[k]
             # triangle (i, j, k); pick the central atom: the one whose two
             # constraint distances are equal and whose partners' masses match
-            tri = {(i, j): d,
+            tri = {tuple(sorted((i, j))): d,
                    tuple(sorted((i, k))): constraints[c_ik][2],
                    tuple(sorted((j, k))): constraints[c_jk][2]}
 
