@@ -578,18 +578,53 @@ class NonbondedForce(Force):
 
         include_direct = self._include_direct
 
+        # neighbor-list culling pays off once the block grid is nontrivial
+        use_neighbor = (use_cutoff and cfg.use_neighbor_list and n >= 1024
+                        and periodic)
+        nl_block = 64
+        if use_neighbor:
+            n_pad = pairs_mod.pad_to_block(n, nl_block)
+            excl_np2 = pairs_mod.build_exclusion_table(n, excl_pairs)
+            excl_pad2 = np.full((n_pad, excl_np2.shape[1]), -1, np.int32)
+            excl_pad2[:n] = excl_np2
+            exclusions = jnp.asarray(excl_pad2)
+            # density-based capacity estimate (no positions at compile time):
+            # assumes roughly spatially-local atom ordering; overflow poisons
+            # the energy with NaN so it can never be silently wrong
+            box0 = system._box_array()
+            vol = float(box0[0][0] * box0[1][1] * box0[2][2])
+            nb_blocks = n_pad // nl_block
+            half_diag = math.sqrt(3.0) / 2.0 * (nl_block * vol / n) ** (1.0 / 3.0)
+            reach = cutoff + 2.0 * half_diag
+            neigh_per_block = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
+            cap = int(nb_blocks * (neigh_per_block / 2.0 + 1.0) * 2.0)
+            total_pairs = nb_blocks * (nb_blocks + 1) // 2
+            self._nl_capacity = min(max(cap, 64), total_pairs)
+
         def direct_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)
-            pos_pad = jnp.zeros((n_pad, 3), pos.dtype).at[:n].set(pos)
             per_atom = {
                 "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
                 "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
                 "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
             }
-            e = pairs_mod.pair_energy_n2(
-                pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
-                block=block, periodic=periodic, accum_dtype=accum,
-                mesh=cfg.mesh)
+            if use_neighbor:
+                # padded atoms sit on atom 0 so block bounding boxes stay tight
+                pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
+                e, overflow = pairs_mod.pair_energy_neighbor(
+                    pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
+                    cutoff=cutoff, max_pairs=self._nl_capacity,
+                    block=nl_block, periodic=periodic, accum_dtype=accum,
+                    mesh=cfg.mesh)
+                # capacity overflow -> NaN (the honest analog of the
+                # reference's overflow-retry, ContextImpl.cpp:298)
+                e = e + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
+            else:
+                pos_pad = jnp.zeros((n_pad, 3), pos.dtype).at[:n].set(pos)
+                e = pairs_mod.pair_energy_n2(
+                    pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
+                    block=block, periodic=periodic, accum_dtype=accum,
+                    mesh=cfg.mesh)
             e = e + exception_energy(pos, box, p, gp)
             if is_ewald_family:
                 e = e + exclusion_correction(pos, box, charge, gp)

@@ -28,7 +28,8 @@ def get_default_mesh():
     return _DEFAULT_MESH
 
 
-def sharded_pair_energy(mesh, tile_energy_fn, bi_arr, bj_arr, accum_dtype):
+def sharded_pair_energy(mesh, tile_energy_fn, bi_arr, bj_arr, accum_dtype,
+                        weights=None):
     """Sum tile_energy_fn(bi, bj) over all block pairs, sharded over the mesh.
 
     tile_energy_fn closes over replicated positions/params (the reference's
@@ -42,13 +43,14 @@ def sharded_pair_energy(mesh, tile_energy_fn, bi_arr, bj_arr, accum_dtype):
 
     n_dev = mesh.devices.size
     n_pairs = bi_arr.shape[0]
+    if weights is None:
+        weights = jnp.ones(n_pairs, accum_dtype)
     pad = (-n_pairs) % n_dev
     if pad:
         # padding pairs replay pair (0, 0) and are masked by weight 0
         bi_arr = jnp.concatenate([bi_arr, jnp.zeros(pad, bi_arr.dtype)])
         bj_arr = jnp.concatenate([bj_arr, jnp.zeros(pad, bj_arr.dtype)])
-    weights = jnp.concatenate([
-        jnp.ones(n_pairs, accum_dtype), jnp.zeros(pad, accum_dtype)])
+        weights = jnp.concatenate([weights, jnp.zeros(pad, accum_dtype)])
     k = bi_arr.shape[0] // n_dev
     sharding = NamedSharding(mesh, P(AXIS))
     bi2 = jax.lax.with_sharding_constraint(bi_arr.reshape(n_dev, k), sharding)
