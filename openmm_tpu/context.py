@@ -263,13 +263,45 @@ class Context(object):
                 e = e + m.energy_fn(pos_full, box, p, gp).astype(self._accum_dtype)
             return e
 
+        def module_active(m, groups):
+            if m.force_group >= 0:
+                return bool(groups & (1 << m.force_group))
+            return bool(groups & 1)
+
+        # analytic ef_fn shortcuts are valid only when no virtual sites exist
+        # (autodiff composes the vsite chain rule; hand-written forces do not)
+        allow_fast = self._vsite_update is None
+
         def force_fn_factory(groups):
             def pe(pos, box, params_list, gp):
                 return potential_energy(pos, box, params_list, gp, groups)
 
+            fast = [(m, i) for i, m in enumerate(modules)
+                    if m.ef_fn is not None and module_active(m, groups)] \
+                if allow_fast else []
+            fast_idx = {i for _, i in fast}
+
             def ef(pos, box, params_list, gp):
-                e, neg_f = jax.value_and_grad(pe)(pos, box, params_list, gp)
-                return e, -neg_f
+                e_total = jnp.zeros((), self._accum_dtype)
+                f_total = jnp.zeros_like(pos)
+                for m, i in fast:
+                    e_m, f_m = m.ef_fn(pos, box, params_list[i], gp)
+                    e_total = e_total + e_m.astype(self._accum_dtype)
+                    f_total = f_total + f_m
+
+                def pe_rest(pos):
+                    pos_full = compute_vsites(pos)
+                    e = jnp.zeros((), self._accum_dtype)
+                    for i, m in enumerate(modules):
+                        if m.energy_fn is None or i in fast_idx \
+                                or not module_active(m, groups):
+                            continue
+                        e = e + m.energy_fn(pos_full, box, params_list[i],
+                                            gp).astype(self._accum_dtype)
+                    return e
+
+                e_rest, g = jax.value_and_grad(pe_rest)(pos)
+                return e_total + e_rest, f_total - g
 
             return pe, ef
 
@@ -468,16 +500,18 @@ class Context(object):
             deriv_names = sorted({d for m in self._modules
                                   for d in m.requested_derivs})
 
+            pe_g, ef_g = self._deps._force_fn_factory(groups)
+
             def fn(pos, box, params_list, gp):
-                def pe(pos, gp):
-                    return self._deps._potential_energy(pos, box, params_list,
-                                                        gp, groups)
-                e, neg_f = jax.value_and_grad(pe)(pos, gp)
+                e, f = ef_g(pos, box, params_list, gp)
                 derivs = {}
                 if need_derivs and deriv_names:
-                    g = jax.grad(pe, argnums=1)(pos, gp)
+                    def pe(gp):
+                        return self._deps._potential_energy(
+                            pos, box, params_list, gp, groups)
+                    g = jax.grad(pe)(gp)
                     derivs = {k: g[k] for k in deriv_names}
-                return e, -neg_f, derivs
+                return e, f, derivs
 
             with jax.default_device(self._device):
                 self._ef_fn_cache[key] = jax.jit(fn)

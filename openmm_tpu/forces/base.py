@@ -50,6 +50,9 @@ class CompiledForce:
     requested_derivs: tuple = ()
     # optional per-force auxiliary state initializer: deps -> pytree
     init_aux: Optional[Callable] = None
+    # optional analytic energy+force path (pos, box, params, gp) -> (E, F):
+    # bypasses reverse-mode for the hot kernel (the row-kernel design)
+    ef_fn: Optional[Callable] = None
 
     def _with_init_aux(self, fn):
         self.init_aux = fn

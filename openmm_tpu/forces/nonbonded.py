@@ -578,6 +578,48 @@ class NonbondedForce(Force):
 
         include_direct = self._include_direct
 
+        def lj_coulomb_ef(r2, pi, pj):
+            """(energy, dE/dr2) with broadcast pi/pj — the analytic-force
+            twin of lj_and_coulomb (derivatives per coulombLennardJones.cc)."""
+            inv_r2 = 1.0 / r2
+            r = jnp.sqrt(r2)
+            inv_r = 1.0 / r
+            sig = 0.5 * (pi["sigma"] + pj["sigma"])
+            eps4 = 4.0 * jnp.sqrt(pi["epsilon"] * pj["epsilon"])
+            s2 = sig * sig * inv_r2
+            s6 = s2 * s2 * s2
+            e_lj = eps4 * s6 * (s6 - 1.0)
+            de_lj = -3.0 * eps4 * s6 * (2.0 * s6 - 1.0) * inv_r2
+            if use_switch:
+                x = jnp.clip(r - rs, 0.0, None)
+                t = x / (cutoff - rs)
+                sw = 1.0 - t * t * t * (10.0 - 15.0 * t + 6.0 * t * t)
+                dsw_dr2 = (-30.0 * t * t * (1.0 - t) * (1.0 - t)
+                           / (cutoff - rs)) * (0.5 * inv_r)
+                de_lj = de_lj * sw + e_lj * dsw_dr2
+                e_lj = e_lj * sw
+            qq = ONE_4PI_EPS0 * pi["charge"] * pj["charge"]
+            if is_ewald_family:
+                erfc_ar = jax.scipy.special.erfc(alpha * r)
+                e_c = qq * inv_r * erfc_ar
+                de_c = (-qq * (erfc_ar * inv_r2
+                               + TWO_OVER_SQRT_PI * alpha
+                               * jnp.exp(-alpha * alpha * r2) * inv_r)
+                        ) * (0.5 * inv_r)
+            elif use_cutoff:
+                e_c = qq * (inv_r + krf * r2 - crf)
+                de_c = qq * (-0.5 * inv_r2 * inv_r + krf)
+            else:
+                e_c = qq * inv_r
+                de_c = -0.5 * qq * inv_r2 * inv_r
+            e = e_lj + e_c
+            de = de_lj + de_c
+            if use_cutoff:
+                inside = r2 < cutoff * cutoff
+                e = jnp.where(inside, e, 0.0)
+                de = jnp.where(inside, de, 0.0)
+            return e, de
+
         # neighbor-list culling pays off once the block grid is nontrivial
         use_neighbor = (use_cutoff and cfg.use_neighbor_list and n >= 1024
                         and periodic)
@@ -588,18 +630,19 @@ class NonbondedForce(Force):
             excl_pad2 = np.full((n_pad, excl_np2.shape[1]), -1, np.int32)
             excl_pad2[:n] = excl_np2
             exclusions = jnp.asarray(excl_pad2)
-            # density-based capacity estimate (no positions at compile time):
-            # assumes roughly spatially-local atom ordering; overflow poisons
-            # the energy with NaN so it can never be silently wrong
+            # density-based per-row candidate count (full-matrix traversal).
+            # Spatial sorting makes blocks ~cubic, so the cube-volume estimate
+            # holds; overflow poisons the energy with NaN so a blown estimate
+            # can never be silently wrong.
             box0 = system._box_array()
             vol = float(box0[0][0] * box0[1][1] * box0[2][2])
             nb_blocks = n_pad // nl_block
-            half_diag = math.sqrt(3.0) / 2.0 * (nl_block * vol / n) ** (1.0 / 3.0)
+            block_side = (nl_block * vol / n) ** (1.0 / 3.0)
+            half_diag = math.sqrt(3.0) / 2.0 * block_side
             reach = cutoff + 2.0 * half_diag
-            neigh_per_block = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
-            cap = int(nb_blocks * (neigh_per_block / 2.0 + 1.0) * 2.0)
-            total_pairs = nb_blocks * (nb_blocks + 1) // 2
-            self._nl_capacity = min(max(cap, 64), total_pairs)
+            neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
+            self._nl_max_cols = min(nb_blocks, int(neigh * 1.6) + 2)
+            self._nl_sort_cell = block_side
 
         def direct_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)
@@ -611,11 +654,11 @@ class NonbondedForce(Force):
             if use_neighbor:
                 # padded atoms sit on atom 0 so block bounding boxes stay tight
                 pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
-                e, overflow = pairs_mod.pair_energy_neighbor(
-                    pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
-                    cutoff=cutoff, max_pairs=self._nl_capacity,
+                e, _, overflow = pairs_mod.pair_energy_force_rows(
+                    pos_pad, box, lj_coulomb_ef, per_atom, exclusions, n,
+                    cutoff=cutoff, max_cols=self._nl_max_cols,
                     block=nl_block, periodic=periodic, accum_dtype=accum,
-                    mesh=cfg.mesh)
+                    sort_cell=self._nl_sort_cell)
                 # capacity overflow -> NaN (the honest analog of the
                 # reference's overflow-retry, ContextImpl.cpp:298)
                 e = e + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
@@ -645,6 +688,43 @@ class NonbondedForce(Force):
                     accum)
             return e
 
+        def make_direct_ef(include_recip):
+            """Analytic-force fast path: row kernel for the pair sweep, one
+            small reverse-mode pass for exceptions/corrections/reciprocal."""
+            if not use_neighbor:
+                return None
+
+            def ef(pos, box, p, gp):
+                charge, sigma, eps = effective_particle_params(p, gp)
+                per_atom = {
+                    "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
+                    "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
+                    "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
+                }
+                pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
+                e_d, f_pad, overflow = pairs_mod.pair_energy_force_rows(
+                    pos_pad, box, lj_coulomb_ef, per_atom, exclusions, n,
+                    cutoff=cutoff, max_cols=self._nl_max_cols,
+                    block=nl_block, periodic=periodic, accum_dtype=accum,
+                    sort_cell=self._nl_sort_cell)
+                e_d = e_d + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
+
+                def rest(pos):
+                    e = exception_energy(pos, box, p, gp)
+                    if is_ewald_family:
+                        ch, _, _ = effective_particle_params(p, gp)
+                        e = e + exclusion_correction(pos, box, ch, gp)
+                    if "disp_coeff" in p:
+                        e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
+                    if include_recip:
+                        e = e + reciprocal_energy(pos, box, p, gp)
+                    return e
+
+                e_r, g = jax.value_and_grad(rest)(pos)
+                return e_d + e_r, f_pad[:n] - g
+
+            return ef
+
         modules = []
         merged_recip = is_ewald_family and self._recip_group in (-1, self._force_group)
         if include_direct or not is_ewald_family:
@@ -662,7 +742,9 @@ class NonbondedForce(Force):
                 name=self.getName(), force_group=self.getForceGroup(),
                 params=params, energy_fn=energy_fn, uses_pbc=periodic,
                 bonded_particles=tuple(self._bonded_particles()),
-                global_defaults=self._default_global_values()))
+                global_defaults=self._default_global_values(),
+                ef_fn=make_direct_ef(include_recip=merged_recip
+                                     and include_direct)))
         if is_ewald_family and not merged_recip:
             grp = self._recip_group
             modules.append(CompiledForce(

@@ -232,3 +232,118 @@ def pair_energy_neighbor(pos, box, pair_fn, per_atom, exclusions, n_real,
     total, _ = jax.lax.scan(body, jnp.zeros((), accum_dtype),
                             (bi_list, bj_list, valid))
     return total, overflow
+
+
+def spatial_sort_keys(pos, box, n_real, cell_size):
+    """Cell index key for spatial sorting (the role of the reference's
+    Hilbert-curve reorder, ComputeContext.cpp:430). Padded atoms sort last."""
+    n_pad = pos.shape[0]
+    inv = 1.0 / cell_size
+    frac = pos - jnp.floor(pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
+    c = jnp.floor(frac * inv).astype(jnp.int32)
+    # interleave-free key: strided cell id (locality comparable to Morton for
+    # modest cell counts)
+    ncx = jnp.maximum(jnp.floor(box[0, 0] * inv).astype(jnp.int32), 1)
+    ncy = jnp.maximum(jnp.floor(box[1, 1] * inv).astype(jnp.int32), 1)
+    ncz = jnp.maximum(jnp.floor(box[2, 2] * inv).astype(jnp.int32), 1)
+    cx = jnp.clip(c[:, 0], 0, ncx - 1)
+    cy = jnp.clip(c[:, 1], 0, ncy - 1)
+    cz = jnp.clip(c[:, 2], 0, ncz - 1)
+    key = (cx * ncy + cy) * ncz + cz
+    pad_flag = jnp.arange(n_pad, dtype=jnp.int32) >= n_real
+    return jnp.where(pad_flag, jnp.iinfo(jnp.int32).max, key)
+
+
+def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
+                           n_real, cutoff, max_cols, block=64, periodic=False,
+                           accum_dtype=jnp.float32, sort_cell=None):
+    """Direct-space energy AND analytic forces in one pass, scatter-free.
+
+    The full interaction matrix is swept in (nb, block) row blocks: one scan
+    over `max_cols` candidate column slots, each step processing ALL row
+    blocks in parallel against their k-th candidate column (from bounding-box
+    culling over spatially sorted atoms). Forces accumulate into each row
+    block's own contiguous slab; the transposed tile supplies the column
+    side (full-matrix traversal, energy * 0.5). This is the reference's
+    warp row kernel (nonbonded.cu:106) recast for the VPU: no scatters, no
+    reverse-mode sweep, static shapes.
+
+    pair_ef_fn(r2_safe, pi, pj) -> (e, dE/dr2), both (..., B, B).
+    Returns (energy, forces (n_pad, 3), overflow_count).
+    """
+    n_pad = pos.shape[0]
+    assert n_pad % block == 0
+    nb = n_pad // block
+
+    # ---- spatial sort (role of the Hilbert reorder, ComputeContext.cpp:430)
+    if sort_cell is not None:
+        keys = spatial_sort_keys(pos, box, n_real, sort_cell)
+        order = jnp.argsort(keys)
+    else:
+        order = jnp.arange(n_pad, dtype=jnp.int32)
+    inv_order = jnp.argsort(order)
+    pos_s = pos[order]
+    per_atom_s = {k: v[order] for k, v in per_atom.items()}
+    excl_s = exclusions[order] if exclusions is not None else None
+    orig_id = order.astype(jnp.int32)
+
+    # ---- block bounding boxes + per-row candidate lists ---------------------
+    blocks = pos_s.reshape(nb, block, 3)
+    bmin = jnp.min(blocks, axis=1)
+    bmax = jnp.max(blocks, axis=1)
+    centers = 0.5 * (bmin + bmax)
+    half = 0.5 * (bmax - bmin)
+    d = centers[:, None, :] - centers[None, :, :]
+    if periodic:
+        d = geom.periodic_delta(d, box)
+    gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + half[None, :, :]), 0.0)
+    close = jnp.sum(gap * gap, axis=-1) < cutoff * cutoff   # (nb, nb)
+    col_order = jnp.argsort(~close, axis=1, stable=True)
+    cand = col_order[:, :max_cols]                          # (nb, max_cols)
+    cand_valid = jnp.take_along_axis(close, cand, axis=1)
+    overflow = jnp.sum(close.astype(jnp.int32)) \
+        - jnp.sum(cand_valid.astype(jnp.int32))
+
+    par_blocks = {k: v.reshape(nb, block, *v.shape[1:])
+                  for k, v in per_atom_s.items()}
+    excl_blocks = (None if excl_s is None
+                   else excl_s.reshape(nb, block, excl_s.shape[1]))
+    gid_blocks = orig_id.reshape(nb, block)
+    slot = jnp.arange(n_pad, dtype=jnp.int32).reshape(nb, block)
+
+    def col_step(carry, k):
+        e_acc, f_acc = carry
+        bj = cand[:, k]                                     # (nb,)
+        w = cand_valid[:, k].astype(accum_dtype)            # (nb,)
+        pos_j = blocks[bj]                                  # (nb, B, 3)
+        par_j = {k2: v[bj] for k2, v in par_blocks.items()}
+        gid_j = gid_blocks[bj]
+        slot_j = slot[bj]
+        dr = blocks[:, :, None, :] - pos_j[:, None, :, :]   # (nb, B, B, 3)
+        if periodic:
+            dr = geom.periodic_delta(dr, box)
+        r2 = jnp.sum(dr * dr, axis=-1)
+        mask = (slot[:, :, None] != slot_j[:, None, :]) \
+            & (slot[:, :, None] < n_real) & (slot_j[:, None, :] < n_real)
+        if excl_blocks is not None:
+            is_excl = jnp.any(
+                excl_blocks[:, :, :, None] == gid_j[:, None, None, :], axis=2)
+            mask = mask & ~is_excl
+        r2_safe = jnp.where(mask, r2, 1.0)
+        pi = {k2: v[:, :, None] for k2, v in par_blocks.items()}
+        pj = {k2: v[:, None, :] for k2, v in par_j.items()}
+        e, dedr2 = pair_ef_fn(r2_safe, pi, pj)
+        e = jnp.where(mask, e, 0.0)
+        dedr2 = jnp.where(mask, dedr2, 0.0)
+        f_rows = -2.0 * jnp.sum(dedr2[:, :, :, None] * dr, axis=2)
+        e_tile = jnp.sum(e.astype(accum_dtype), axis=(1, 2))  # (nb,)
+        return (e_acc + jnp.sum(w * e_tile),
+                f_acc + w[:, None, None] * f_rows), None
+
+    (energy2, f_blocks), _ = jax.lax.scan(
+        col_step,
+        (jnp.zeros((), accum_dtype), jnp.zeros((nb, block, 3), pos.dtype)),
+        jnp.arange(max_cols, dtype=jnp.int32))
+    energy = 0.5 * energy2
+    forces = f_blocks.reshape(n_pad, 3)[inv_order]
+    return energy, forces, overflow
