@@ -24,6 +24,7 @@ from .gbsa import GBSAOBCForce
 from .rmsd import RMSDForce
 from .gayberne import GayBerneForce
 from .custommanyparticle import CustomManyParticleForce
+from .drude import DrudeForce
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -39,7 +40,7 @@ __all__ = [
     "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",
     "CustomCentroidBondForce", "CustomGBForce", "CustomHbondForce",
     "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
-    "CustomManyParticleForce",
+    "CustomManyParticleForce", "DrudeForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",

@@ -17,6 +17,9 @@ from .custom import CustomIntegrator
 from .compound import CompoundIntegrator
 from .mts import MTSIntegrator, MTSLangevinIntegrator
 from .amd import AMDIntegrator, AMDForceGroupIntegrator, DualAMDIntegrator
+from .drude import (DrudeLangevinIntegrator, DrudeSCFIntegrator,
+                    DrudeNoseHooverIntegrator)
+from .rpmd import RPMDIntegrator
 
 __all__ = [
     "Integrator", "StepDeps", "VerletIntegrator", "LangevinIntegrator",
@@ -24,4 +27,6 @@ __all__ = [
     "VariableLangevinIntegrator", "NoseHooverIntegrator", "CustomIntegrator",
     "CompoundIntegrator", "MTSIntegrator", "MTSLangevinIntegrator",
     "AMDIntegrator", "AMDForceGroupIntegrator", "DualAMDIntegrator",
+    "DrudeLangevinIntegrator", "DrudeSCFIntegrator", "DrudeNoseHooverIntegrator",
+    "RPMDIntegrator",
 ]

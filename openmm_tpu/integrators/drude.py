@@ -28,6 +28,12 @@ def _find_drude_pairs(system):
 
 
 class _DrudeBase(Integrator):
+    def getRandomNumberSeed(self):
+        return self._seed
+
+    def setRandomNumberSeed(self, seed):
+        self._seed = int(seed)
+
     def getTemperature(self):
         return u.Quantity(self._temperature, u.kelvin)
 

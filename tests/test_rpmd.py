@@ -1,0 +1,71 @@
+"""RPMD tests (pattern of plugins/rpmd/tests/TestRpmd.h)."""
+import numpy as np
+import pytest
+
+import openmm_tpu as mm
+from openmm_tpu import unit as u
+from openmm_tpu.constants import BOLTZ
+
+from helpers import reference_platform
+
+
+def harmonic_system(n=8, k_spring=100.0):
+    system = mm.System()
+    f = mm.CustomExternalForce("0.5*k*(x*x+y*y+z*z)")
+    f.addGlobalParameter("k", k_spring)
+    positions = []
+    for i in range(n):
+        system.addParticle(2.0)
+        f.addParticle(i, [])
+        positions.append(mm.Vec3(0.05 * i, 0, 0))
+    system.addForce(f)
+    return system, positions
+
+
+def test_rpmd_runs_and_thermalizes():
+    system, positions = harmonic_system()
+    integ = mm.RPMDIntegrator(8, 300.0, 10.0, 0.0005)
+    integ.setRandomNumberSeed(3)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    integ.step(200)
+    st = integ.getState(0, getPositions=True, getEnergy=True)
+    assert np.isfinite(st.getPotentialEnergy()._value)
+    # copies must have spread out (quantum dispersion)
+    p0 = integ.getState(0, getPositions=True).getPositions(asNumpy=True)._value
+    p4 = integ.getState(4, getPositions=True).getPositions(asNumpy=True)._value
+    assert np.max(np.abs(p0 - p4)) > 1e-4
+
+
+def test_rpmd_centroid_temperature():
+    """Centroid kinetic energy thermalizes to ~ (3N/2) kT."""
+    n = 16
+    system, positions = harmonic_system(n=n, k_spring=50.0)
+    k_copies = 4
+    integ = mm.RPMDIntegrator(k_copies, 300.0, 10.0, 0.001)
+    integ.setRandomNumberSeed(5)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    integ.step(500)
+    kes = []
+    for _ in range(40):
+        integ.step(25)
+        vels = np.stack([
+            integ.getState(c, getVelocities=True)
+            .getVelocities(asNumpy=True)._value for c in range(k_copies)])
+        v_centroid = vels.mean(axis=0)
+        kes.append(0.5 * 2.0 * np.sum(v_centroid ** 2))
+    # the centroid is classical: KE = (3N/2) kT
+    mean_ke = np.mean(kes)
+    expected = 0.5 * 3 * n * BOLTZ * 300.0
+    assert abs(mean_ke - expected) / expected < 0.25, (mean_ke, expected)
+
+
+def test_rpmd_total_energy_finite():
+    system, positions = harmonic_system(4)
+    integ = mm.RPMDIntegrator(4, 200.0, 5.0, 0.0005)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    integ.step(50)
+    e = integ.getTotalEnergy()
+    assert np.isfinite(e._value)
