@@ -245,6 +245,38 @@ def spread_charges(pos, charges, box_inv, grid, order, dtype):
     return grid_flat.reshape(nx, ny, nz)
 
 
+def _dft_matrices(n, dtype=np.float64):
+    """Real/imag DFT matrices for one axis (host-side)."""
+    kk = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(kk, kk) / n
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+def dft3_power(Q, mats):
+    """|FFT3(Q)|^2 via separable matmul-DFT (MXU path).
+
+    XLA's TPU FFT custom-call costs ~1-2 ms regardless of size for MD-scale
+    grids; three axes of dense DFT matmuls are ~G^4 MACs — microseconds on
+    the MXU up to G~128. Q is real; (Re, Im) pairs are carried through the
+    three contractions.
+    """
+    (wrx, wix), (wry, wiy), (wrz, wiz) = mats
+
+    def apply_axis(re, im, wr, wi, axis):
+        re2 = jnp.tensordot(wr, re, axes=([1], [axis]))
+        re2 = re2 - jnp.tensordot(wi, im, axes=([1], [axis]))
+        im2 = jnp.tensordot(wr, im, axes=([1], [axis]))
+        im2 = im2 + jnp.tensordot(wi, re, axes=([1], [axis]))
+        # tensordot moves the contracted axis to the front; rotate it back
+        return jnp.moveaxis(re2, 0, axis), jnp.moveaxis(im2, 0, axis)
+
+    re, im = Q, jnp.zeros_like(Q)
+    re, im = apply_axis(re, im, wrx, wix, 0)
+    re, im = apply_axis(re, im, wry, wiy, 1)
+    re, im = apply_axis(re, im, wrz, wiz, 2)
+    return re * re + im * im
+
+
 def _k_vectors(grid, box_inv, dtype):
     """Reciprocal vectors m~ (no 2pi) for each FFT bin, with fftfreq wrapping."""
     nx, ny, nz = grid
@@ -275,8 +307,14 @@ def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,
     vol = geom.box_volume(box)
     q = charges if coulomb else c6s
     Q = spread_charges_dense(pos, q, box_inv, grid, order, dtype)
-    FQ = jnp.fft.fftn(Q)
-    sq = (FQ * jnp.conj(FQ)).real.astype(accum_dtype)
+    if max(grid) <= 128:
+        mats = tuple(
+            tuple(jnp.asarray(m.astype(dtype)) for m in _dft_matrices(g))
+            for g in grid)
+        sq = dft3_power(Q, mats).astype(accum_dtype)
+    else:
+        FQ = jnp.fft.fftn(Q)
+        sq = (FQ * jnp.conj(FQ)).real.astype(accum_dtype)
     kvec = _k_vectors(grid, box_inv, accum_dtype)
     m2 = jnp.sum(kvec * kvec, axis=-1)
     B = (bsq_x[:, None, None] * bsq_y[None, :, None] * bsq_z[None, None, :]).astype(accum_dtype)
