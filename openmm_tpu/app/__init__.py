@@ -15,6 +15,8 @@ from .metadynamics import Metadynamics, BiasVariable
 from .simulatedtempering import SimulatedTempering
 from .amberprmtopfile import AmberPrmtopFile
 from .amberinpcrdfile import AmberInpcrdFile
+from .charmmfiles import CharmmPsfFile, CharmmParameterSet, CharmmCrdFile
+from .gromacsgrofile import GromacsGroFile
 
 __all__ = [
     "Element", "Topology", "Chain", "Residue", "Atom", "PDBFile",
@@ -22,6 +24,7 @@ __all__ = [
     "PDBReporter", "CheckpointReporter", "Modeller",
     "Metadynamics", "BiasVariable", "SimulatedTempering",
     "AmberPrmtopFile", "AmberInpcrdFile",
+    "CharmmPsfFile", "CharmmParameterSet", "CharmmCrdFile", "GromacsGroFile",
     "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
     "CutoffPeriodic", "Ewald", "PME", "LJPME",
 ]
