@@ -498,6 +498,12 @@ class NonbondedForce(Force):
         self._compiled_meta = {"alpha": alpha, "grid": pme_grid,
                                "lj_alpha": lj_alpha, "lj_grid": lj_grid,
                                "ewald_kmax": ewald_kmax}
+        is_ljpme = method == NonbondedForce.LJPME
+        if is_ljpme:
+            dar2c = (lj_alpha * cutoff) ** 2
+            mult_shift6 = -(1.0 - math.exp(-dar2c)
+                            * (1.0 + dar2c + 0.5 * dar2c * dar2c)) / cutoff ** 6
+            inv_cut6 = 1.0 / cutoff ** 6
 
         params = self._pack_params(cfg)
 
@@ -540,6 +546,18 @@ class NonbondedForce(Force):
                 t = x / (cutoff - rs)
                 sw = 1.0 - t * t * t * (10.0 - 15.0 * t + 6.0 * t * t)
                 e_lj = e_lj * sw
+            if is_ljpme:
+                # multiplicative-combination grid complement + potential
+                # shifts (coulombLennardJones.cc DO_LJPME block)
+                c6g = eps4 * (pi["sigma"][:, None] * pj["sigma"][None, :]) ** 3
+                dar2 = (lj_alpha * lj_alpha) * r2
+                eprefac = 1.0 + dar2 + 0.5 * dar2 * dar2
+                exp_dar2 = jnp.exp(-dar2)
+                coef = c6g * inv_r2 * inv_r2 * inv_r2
+                e_lj = e_lj + coef * (1.0 - exp_dar2 * eprefac)
+                sig6c = (sig * sig) ** 3 * inv_cut6
+                e_lj = e_lj + eps4 * sig6c * (1.0 - sig6c) \
+                    + mult_shift6 * c6g
             qq = ONE_4PI_EPS0 * pi["charge"][:, None] * pj["charge"][None, :]
             if is_ewald_family:
                 e_c = qq * inv_r * jax.scipy.special.erfc(alpha * r)
@@ -565,16 +583,25 @@ class NonbondedForce(Force):
                 + ONE_4PI_EPS0 * cp * jnp.sqrt(inv_r2)
             return jnp.sum(e.astype(accum))
 
-        def exclusion_correction(pos, box, charge, gp):
+        def exclusion_correction(pos, box, charge, gp, sigma=None, eps=None):
             """Subtract erf(alpha r)/r for every excluded pair (the reciprocal
-            sum includes all pairs; pmeExclusions.cc / ewald.cc counterpart)."""
+            sum includes all pairs; pmeExclusions.cc / ewald.cc counterpart);
+            for LJPME also cancel the pair's dispersion-grid contribution."""
             if exc_idx.shape[0] == 0:
                 return jnp.zeros((), accum)
             dr = geom.bond_vectors(pos, exc_idx, box if periodic else None)
-            r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
+            r2 = jnp.sum(dr * dr, axis=-1)
+            r = jnp.sqrt(r2)
             qq = ONE_4PI_EPS0 * charge[exc_idx[:, 0]] * charge[exc_idx[:, 1]]
             e = -qq * jax.scipy.special.erf(alpha * r) / r
-            return jnp.sum(e.astype(accum))
+            total = jnp.sum(e.astype(accum))
+            if is_ljpme:
+                c6i = 2.0 * jnp.sqrt(eps) * sigma ** 3
+                c6g = c6i[exc_idx[:, 0]] * c6i[exc_idx[:, 1]]
+                dar2 = (lj_alpha * lj_alpha) * r2
+                g_lr = 1.0 - jnp.exp(-dar2) * (1.0 + dar2 + 0.5 * dar2 * dar2)
+                total = total + jnp.sum((c6g / r2 ** 3 * g_lr).astype(accum))
+            return total
 
         include_direct = self._include_direct
 
@@ -598,6 +625,19 @@ class NonbondedForce(Force):
                            / (cutoff - rs)) * (0.5 * inv_r)
                 de_lj = de_lj * sw + e_lj * dsw_dr2
                 e_lj = e_lj * sw
+            if is_ljpme:
+                c6g = eps4 * (pi["sigma"] * pj["sigma"]) ** 3
+                dar2 = (lj_alpha * lj_alpha) * r2
+                dar4 = dar2 * dar2
+                eprefac = 1.0 + dar2 + 0.5 * dar4
+                dprefac = eprefac + dar4 * dar2 / 6.0
+                exp_dar2 = jnp.exp(-dar2)
+                coef = c6g * inv_r2 * inv_r2 * inv_r2
+                e_lj = e_lj + coef * (1.0 - exp_dar2 * eprefac)
+                de_lj = de_lj - 3.0 * coef * (1.0 - exp_dar2 * dprefac) * inv_r2
+                sig6c = (sig * sig) ** 3 * inv_cut6
+                e_lj = e_lj + eps4 * sig6c * (1.0 - sig6c) \
+                    + mult_shift6 * c6g
             qq = ONE_4PI_EPS0 * pi["charge"] * pj["charge"]
             if is_ewald_family:
                 erfc_ar = jax.scipy.special.erfc(alpha * r)
@@ -670,7 +710,7 @@ class NonbondedForce(Force):
                     mesh=cfg.mesh)
             e = e + exception_energy(pos, box, p, gp)
             if is_ewald_family:
-                e = e + exclusion_correction(pos, box, charge, gp)
+                e = e + exclusion_correction(pos, box, charge, gp, sigma, eps)
             if "disp_coeff" in p:
                 e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
             return e
@@ -686,6 +726,13 @@ class NonbondedForce(Force):
                     pos, charge, box, pme_grid, 5, alpha,
                     pme_data["bsq_x"], pme_data["bsq_y"], pme_data["bsq_z"],
                     accum)
+            if is_ljpme:
+                c6 = 2.0 * jnp.sqrt(eps) * sigma ** 3
+                e = e + pme_mod.dispersion_self_energy(c6, lj_alpha, accum)
+                e = e + pme_mod.pme_reciprocal_energy(
+                    pos, charge, box, lj_grid, 5, lj_alpha,
+                    pme_data["bsq_x_lj"], pme_data["bsq_y_lj"],
+                    pme_data["bsq_z_lj"], accum, coulomb=False, c6s=c6)
             return e
 
         def make_direct_ef(include_recip):
@@ -712,8 +759,8 @@ class NonbondedForce(Force):
                 def rest(pos):
                     e = exception_energy(pos, box, p, gp)
                     if is_ewald_family:
-                        ch, _, _ = effective_particle_params(p, gp)
-                        e = e + exclusion_correction(pos, box, ch, gp)
+                        ch, sg, ep = effective_particle_params(p, gp)
+                        e = e + exclusion_correction(pos, box, ch, gp, sg, ep)
                     if "disp_coeff" in p:
                         e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
                     if include_recip:

@@ -324,18 +324,21 @@ def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,
         kernel = jnp.where(m2 > 0, kernel, 0.0)
         e = ONE_4PI_EPS0 / (2.0 * jnp.pi * vol) * jnp.sum(kernel * B * sq)
     else:
-        # dispersion kernel f(b) with b = pi*m/alpha:
-        # E = (pi^1.5 a^3 / 2V) sum_m f(b) B(m) |FC6|^2, f(b) per Essmann eq. 5.2
+        # LJPME dispersion eterm exactly per the reference convolution
+        # (pme.cc:396-431): E = sum_m B(m)|S6|^2 * (-(2 pi sqrt(pi))/(6V)) *
+        # [2 pi^3 sqrt(pi) m^3 erfc(pi m/a) + e^{-(pi m/a)^2}(a^3 - 2 a pi^2 m^2)]
+        # — the m=0 term IS included for dispersion.
         m_abs = jnp.sqrt(m2)
         b = jnp.pi * m_abs / alpha
-        b2 = b * b
-        expfac = jnp.exp(-b2)
-        erfcfac = jax.scipy.special.erfc(b)
-        f = ((1.0 - 2.0 * b2) * expfac + 2.0 * b2 * b * SQRT_PI * erfcfac) / 3.0
-        e = (jnp.pi ** 1.5 * alpha ** 3 / (2.0 * vol)) * jnp.sum(f * B * sq)
-        # remove the m=0 self-term of the dispersion sum: f(0)=1/3 contributes
-        # (pi^1.5 a^3/2V) * (1/3) * (sum c6)^2; the reference folds this into
-        # its analytic corrections — keep it: it is part of the LJPME energy.
+        fac1 = 2.0 * jnp.pi ** 3 * SQRT_PI
+        fac2 = alpha ** 3
+        fac3 = -2.0 * alpha * jnp.pi ** 2
+        eterm = (fac1 * jax.scipy.special.erfc(b) * m_abs * m2
+                 + jnp.exp(-b * b) * (fac2 + fac3 * m2))
+        # the reference's kernel constant -(2pi/6)sqrt(pi)/V is halved by the
+        # downstream 0.5x on the grid-energy sum; fold it in here
+        scale = -0.5 * (2.0 * jnp.pi / 6.0) * SQRT_PI / vol
+        e = scale * jnp.sum(eterm * B * sq)
     return e
 
 
@@ -368,9 +371,8 @@ def ewald_self_energy(charges, alpha, accum_dtype):
     return -ONE_4PI_EPS0 * alpha / SQRT_PI * jnp.sum(q * q)
 
 
-def dispersion_self_energy(c6s, alpha, vol, accum_dtype):
-    """LJPME analytic self/background corrections: -a^6/12 sum c6_ii... kept
-    minimal: self term -alpha^6/12 * sum(c6_i^2-ish) is handled by the caller
-    through exclusion math; here only the standard self term."""
+def dispersion_self_energy(c6s, alpha, accum_dtype):
+    """LJPME self term: +alpha^6/12 sum_i c6_ii with c6_ii = c6_i^2
+    (CudaKernels.cpp:724: eps*(sigma*dispAlpha)^6/3 per particle)."""
     c6 = c6s.astype(accum_dtype)
     return (alpha ** 6 / 12.0) * jnp.sum(c6 * c6)
