@@ -13,7 +13,7 @@ import time
 import openmm_tpu as mm
 from openmm_tpu.models import tip3p_water_box
 
-N_WATERS = int(os.environ.get("BENCH_WATERS", "2744"))  # 14^3 -> 8232 atoms
+N_WATERS = int(os.environ.get("BENCH_WATERS", "8000"))  # 20^3 -> 24000 atoms (DHFR class)
 STEPS_WARMUP = int(os.environ.get("BENCH_WARMUP", "20"))
 STEPS_MEASURE = int(os.environ.get("BENCH_STEPS", "400"))
 DT_PS = 0.002

@@ -37,6 +37,17 @@ _NM = u.nanometer
 TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
 
 
+def _erfc_f32(x, exp_x2):
+    """Hastings rational erfc approximation (max err 1.5e-7), the same one
+    the reference f32 kernels use (coulombLennardJones.cc:18-20). Takes the
+    precomputed exp(-x^2) so the transcendental is shared with the force
+    term. Used only in single/mixed precision; f64 uses the exact erfc."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (0.254829592 + (-0.284496736 + (1.421413741 + (-1.453152027
+            + 1.061405429 * t) * t) * t) * t) * t
+    return poly * exp_x2
+
+
 class NonbondedForce(Force):
     # NonbondedMethod enum (NonbondedForce.h:113-144)
     NoCutoff = 0
@@ -560,7 +571,11 @@ class NonbondedForce(Force):
                     + mult_shift6 * c6g
             qq = ONE_4PI_EPS0 * pi["charge"][:, None] * pj["charge"][None, :]
             if is_ewald_family:
-                e_c = qq * inv_r * jax.scipy.special.erfc(alpha * r)
+                if dtype == jnp.float32:
+                    ar = alpha * r
+                    e_c = qq * inv_r * _erfc_f32(ar, jnp.exp(-ar * ar))
+                else:
+                    e_c = qq * inv_r * jax.scipy.special.erfc(alpha * r)
             elif use_cutoff:
                 e_c = qq * (inv_r + krf * r2 - crf)
             else:
@@ -640,11 +655,15 @@ class NonbondedForce(Force):
                     + mult_shift6 * c6g
             qq = ONE_4PI_EPS0 * pi["charge"] * pj["charge"]
             if is_ewald_family:
-                erfc_ar = jax.scipy.special.erfc(alpha * r)
+                exp_a2r2 = jnp.exp(-alpha * alpha * r2)
+                if dtype == jnp.float32:
+                    erfc_ar = _erfc_f32(alpha * r, exp_a2r2)
+                else:
+                    erfc_ar = jax.scipy.special.erfc(alpha * r)
                 e_c = qq * inv_r * erfc_ar
                 de_c = (-qq * (erfc_ar * inv_r2
                                + TWO_OVER_SQRT_PI * alpha
-                               * jnp.exp(-alpha * alpha * r2) * inv_r)
+                               * exp_a2r2 * inv_r)
                         ) * (0.5 * inv_r)
             elif use_cutoff:
                 e_c = qq * (inv_r + krf * r2 - crf)
