@@ -17,6 +17,7 @@ from .amberprmtopfile import AmberPrmtopFile
 from .amberinpcrdfile import AmberInpcrdFile
 from .charmmfiles import CharmmPsfFile, CharmmParameterSet, CharmmCrdFile
 from .gromacsgrofile import GromacsGroFile
+from .gromacstopfile import GromacsTopFile
 
 __all__ = [
     "Element", "Topology", "Chain", "Residue", "Atom", "PDBFile",
@@ -25,6 +26,7 @@ __all__ = [
     "Metadynamics", "BiasVariable", "SimulatedTempering",
     "AmberPrmtopFile", "AmberInpcrdFile",
     "CharmmPsfFile", "CharmmParameterSet", "CharmmCrdFile", "GromacsGroFile",
+    "GromacsTopFile",
     "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
     "CutoffPeriodic", "Ewald", "PME", "LJPME",
 ]

@@ -57,3 +57,59 @@ def test_gromacs_gro():
     assert np.isfinite(pos).all()
     box = gro.getPeriodicBoxVectors()
     assert box is not None
+
+
+def test_gromacs_top_spce(tmp_path):
+    """Self-contained SPC/E top: energy matches a hand computation exactly."""
+    top_text = """
+[ defaults ]
+1 2 yes 0.5 0.8333
+
+[ atomtypes ]
+OW  15.9994 -0.8476 A 0.316557 0.650194
+HW  1.008    0.4238 A 0.0      0.0
+
+[ moleculetype ]
+SOL 2
+
+[ atoms ]
+1 OW 1 SOL OW 1 -0.8476 15.9994
+2 HW 1 SOL HW1 1 0.4238 1.008
+3 HW 1 SOL HW2 1 0.4238 1.008
+
+[ settles ]
+1 1 0.1 0.16330
+
+[ exclusions ]
+1 2 3
+2 1 3
+3 1 2
+
+[ system ]
+water
+
+[ molecules ]
+SOL 2
+"""
+    from openmm_tpu.app import GromacsTopFile
+    from openmm_tpu.constants import ONE_4PI_EPS0
+    path = str(tmp_path / "w.top")
+    with open(path, "w") as f:
+        f.write(top_text)
+    gmx = GromacsTopFile(path)
+    system = gmx.createSystem(nonbondedMethod=NoCutoff, removeCMMotion=False)
+    assert system.getNumParticles() == 6
+    assert system.getNumConstraints() == 6
+    ctx = mm.Context(system, mm.VerletIntegrator(0.001), reference_platform())
+    pos = [mm.Vec3(0, 0, 0), mm.Vec3(0.1, 0, 0), mm.Vec3(-0.033, 0.094, 0),
+           mm.Vec3(0.5, 0, 0), mm.Vec3(0.6, 0, 0), mm.Vec3(0.467, 0.094, 0)]
+    ctx.setPositions(pos)
+    e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+    p = np.array([[v.x, v.y, v.z] for v in pos])
+    qs = [-0.8476, 0.4238, 0.4238] * 2
+    expected = sum(ONE_4PI_EPS0 * qs[i] * qs[j] / np.linalg.norm(p[i] - p[j])
+                   for i in range(3) for j in range(3, 6))
+    s, eps = 0.316557, 0.650194
+    r = np.linalg.norm(p[0] - p[3])
+    expected += 4 * eps * ((s / r) ** 12 - (s / r) ** 6)
+    assert abs(e - expected) < 1e-9
