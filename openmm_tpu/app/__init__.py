@@ -18,6 +18,8 @@ from .amberinpcrdfile import AmberInpcrdFile
 from .charmmfiles import CharmmPsfFile, CharmmParameterSet, CharmmCrdFile
 from .gromacsgrofile import GromacsGroFile
 from .gromacstopfile import GromacsTopFile
+from .pdbxfile import PDBxFile
+from .pdbxreporter import PDBxReporter
 
 __all__ = [
     "Element", "Topology", "Chain", "Residue", "Atom", "PDBFile",
@@ -26,7 +28,7 @@ __all__ = [
     "Metadynamics", "BiasVariable", "SimulatedTempering",
     "AmberPrmtopFile", "AmberInpcrdFile",
     "CharmmPsfFile", "CharmmParameterSet", "CharmmCrdFile", "GromacsGroFile",
-    "GromacsTopFile",
+    "GromacsTopFile", "PDBxFile", "PDBxReporter",
     "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
     "CutoffPeriodic", "Ewald", "PME", "LJPME",
 ]

@@ -697,10 +697,11 @@ class NonbondedForce(Force):
             vol = float(box0[0][0] * box0[1][1] * box0[2][2])
             nb_blocks = n_pad // nl_block
             block_side = (nl_block * vol / n) ** (1.0 / 3.0)
-            half_diag = math.sqrt(3.0) / 2.0 * block_side
+            # Morton runs straddle ~2 cells: budget 1.3x the cube half-diagonal
+            half_diag = 1.3 * math.sqrt(3.0) / 2.0 * block_side
             reach = cutoff + 2.0 * half_diag
             neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
-            self._nl_max_cols = min(nb_blocks, int(neigh * 1.6) + 2)
+            self._nl_max_cols = min(nb_blocks, int(neigh * 1.5) + 4)
             self._nl_sort_cell = block_side
 
         def direct_energy(pos, box, p, gp):

@@ -235,21 +235,26 @@ def pair_energy_neighbor(pos, box, pair_fn, per_atom, exclusions, n_real,
 
 
 def spatial_sort_keys(pos, box, n_real, cell_size):
-    """Cell index key for spatial sorting (the role of the reference's
-    Hilbert-curve reorder, ComputeContext.cpp:430). Padded atoms sort last."""
+    """Boustrophedon (snake) cell key for spatial sorting (the role of the
+    reference's Hilbert-curve reorder, ComputeContext.cpp:430): the traversal
+    reverses direction on alternating rows/columns, so consecutive keys are
+    ALWAYS spatially adjacent cells — every run of sorted atoms has a compact
+    bounding box (Z-order would make half-box jumps at octant boundaries).
+    Padded atoms sort last."""
     n_pad = pos.shape[0]
     inv = 1.0 / cell_size
-    frac = pos - jnp.floor(pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
-    c = jnp.floor(frac * inv).astype(jnp.int32)
-    # interleave-free key: strided cell id (locality comparable to Morton for
-    # modest cell counts)
-    ncx = jnp.maximum(jnp.floor(box[0, 0] * inv).astype(jnp.int32), 1)
+    wrapped = pos - jnp.floor(pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
+    c = jnp.floor(wrapped * inv).astype(jnp.int32)
+    # cell counts from the box are traced values; clip indices to range
     ncy = jnp.maximum(jnp.floor(box[1, 1] * inv).astype(jnp.int32), 1)
     ncz = jnp.maximum(jnp.floor(box[2, 2] * inv).astype(jnp.int32), 1)
-    cx = jnp.clip(c[:, 0], 0, ncx - 1)
+    cx = jnp.maximum(c[:, 0], 0)
     cy = jnp.clip(c[:, 1], 0, ncy - 1)
     cz = jnp.clip(c[:, 2], 0, ncz - 1)
-    key = (cx * ncy + cy) * ncz + cz
+    cy_eff = jnp.where(cx % 2 == 1, ncy - 1 - cy, cy)
+    col = cx * ncy + cy_eff
+    cz_eff = jnp.where(col % 2 == 1, ncz - 1 - cz, cz)
+    key = col * ncz + cz_eff
     pad_flag = jnp.arange(n_pad, dtype=jnp.int32) >= n_real
     return jnp.where(pad_flag, jnp.iinfo(jnp.int32).max, key)
 
@@ -283,6 +288,10 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
         order = jnp.arange(n_pad, dtype=jnp.int32)
     inv_order = jnp.argsort(order)
     pos_s = pos[order]
+    if n_real < n_pad:
+        # padded atoms sort last; park them on the last real atom so the
+        # final block's bounding box stays tight
+        pos_s = pos_s.at[n_real:].set(pos_s[n_real - 1])
     per_atom_s = {k: v[order] for k, v in per_atom.items()}
     excl_s = exclusions[order] if exclusions is not None else None
     orig_id = order.astype(jnp.int32)
