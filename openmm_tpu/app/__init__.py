@@ -20,6 +20,7 @@ from .gromacsgrofile import GromacsGroFile
 from .gromacstopfile import GromacsTopFile
 from .pdbxfile import PDBxFile
 from .pdbxreporter import PDBxReporter
+from .desmonddmsfile import DesmondDMSFile
 
 __all__ = [
     "Element", "Topology", "Chain", "Residue", "Atom", "PDBFile",
@@ -28,7 +29,7 @@ __all__ = [
     "Metadynamics", "BiasVariable", "SimulatedTempering",
     "AmberPrmtopFile", "AmberInpcrdFile",
     "CharmmPsfFile", "CharmmParameterSet", "CharmmCrdFile", "GromacsGroFile",
-    "GromacsTopFile", "PDBxFile", "PDBxReporter",
+    "GromacsTopFile", "PDBxFile", "PDBxReporter", "DesmondDMSFile",
     "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
     "CutoffPeriodic", "Ewald", "PME", "LJPME",
 ]
