@@ -25,6 +25,7 @@ from .rmsd import RMSDForce
 from .gayberne import GayBerneForce
 from .custommanyparticle import CustomManyParticleForce
 from .drude import DrudeForce
+from .amoeba import AmoebaVdwForce, AmoebaMultipoleForce
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -40,7 +41,8 @@ __all__ = [
     "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",
     "CustomCentroidBondForce", "CustomGBForce", "CustomHbondForce",
     "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
-    "CustomManyParticleForce", "DrudeForce",
+    "CustomManyParticleForce", "DrudeForce", "AmoebaVdwForce",
+    "AmoebaMultipoleForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",

@@ -1,0 +1,584 @@
+"""AMOEBA plugin forces (scoped port of plugins/amoeba/openmmapi):
+AmoebaVdwForce (buffered 14-7) and AmoebaMultipoleForce (point multipoles +
+induced-dipole polarization, direct/mutual/extrapolated).
+
+This round implements the NoCutoff/cutoff direct-space paths (dense sweeps);
+multipole PME lands with the next round. The induced-dipole SCF is a jitted
+fixed-point iteration (the TPU translation of the reference's DIIS loop,
+AmoebaCommonKernels.cpp:317-321); all forces come from jax.grad through the
+converged dipoles (implicit differentiation via unrolled iterations).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import unit as u
+from ..constants import ONE_4PI_EPS0
+from ..exceptions import OpenMMException
+from ..ops import geometry as geom
+from .base import CompiledForce, Force
+
+_NM = u.nanometer
+_E = u.kilojoule_per_mole
+
+
+class AmoebaVdwForce(Force):
+    """Buffered 14-7 van der Waals (AmoebaVdwForce.h; Halgren 1992):
+    E = eps_ij (1.07/(rho+0.07))^7 ((1.12/(rho^7+0.12)) - 2), rho = r/r0_ij,
+    with cubic-mean sigma and HHG epsilon combining and hydrogen reduction
+    factors."""
+
+    NoCutoff = 0
+    CutoffPeriodic = 1
+
+    def __init__(self):
+        super().__init__()
+        self._particles = []   # (parentIndex, sigma, epsilon, reduction)
+        self._exclusions = []  # list of lists
+        self._sigma_rule = "CUBIC-MEAN"
+        self._eps_rule = "HHG"
+        self._cutoff = 1.0
+        self._method = AmoebaVdwForce.NoCutoff
+        self._use_dispersion_correction = False
+
+    def getNumParticles(self):
+        return len(self._particles)
+
+    def addParticle(self, parentIndex, sigma, epsilon, reductionFactor,
+                    typeIndex=-1):
+        self._particles.append((int(parentIndex),
+                                float(u.strip(sigma, _NM)),
+                                float(u.strip(epsilon, _E)),
+                                float(reductionFactor)))
+        self._exclusions.append([])
+        return len(self._particles) - 1
+
+    def getParticleParameters(self, index):
+        return self._particles[index]
+
+    def setParticleParameters(self, index, parentIndex, sigma, epsilon,
+                              reductionFactor, typeIndex=-1):
+        self._particles[index] = (int(parentIndex),
+                                  float(u.strip(sigma, _NM)),
+                                  float(u.strip(epsilon, _E)),
+                                  float(reductionFactor))
+
+    def setParticleExclusions(self, index, exclusions):
+        self._exclusions[index] = [int(x) for x in exclusions]
+
+    def getParticleExclusions(self, index):
+        return list(self._exclusions[index])
+
+    def getSigmaCombiningRule(self):
+        return self._sigma_rule
+
+    def setSigmaCombiningRule(self, rule):
+        self._sigma_rule = str(rule)
+
+    def getEpsilonCombiningRule(self):
+        return self._eps_rule
+
+    def setEpsilonCombiningRule(self, rule):
+        self._eps_rule = str(rule)
+
+    def getCutoffDistance(self):
+        return u.Quantity(self._cutoff, _NM)
+
+    def setCutoffDistance(self, cutoff):
+        self._cutoff = float(u.strip(cutoff, _NM))
+
+    def getNonbondedMethod(self):
+        return self._method
+
+    def setNonbondedMethod(self, method):
+        self._method = int(method)
+
+    def getUseDispersionCorrection(self):
+        return self._use_dispersion_correction
+
+    def setUseDispersionCorrection(self, use):
+        self._use_dispersion_correction = bool(use)
+
+    def usesPeriodicBoundaryConditions(self):
+        return self._method == AmoebaVdwForce.CutoffPeriodic
+
+    def updateParametersInContext(self, context):
+        context._update_force_parameters(self)
+
+    def _pack_params(self, cfg):
+        arr = (np.asarray(self._particles, np.float64)
+               if self._particles else np.zeros((0, 4), np.float64))
+        return {"sigma": jnp.asarray(arr[:, 1].astype(cfg.dtype)),
+                "epsilon": jnp.asarray(arr[:, 2].astype(cfg.dtype)),
+                "reduction": jnp.asarray(arr[:, 3].astype(cfg.dtype))}
+
+    def _compile(self, system, cfg):
+        n = cfg.n_particles
+        if len(self._particles) != n:
+            raise OpenMMException(
+                "AmoebaVdwForce must have same particle count as the System")
+        accum = cfg.accum_dtype
+        params = self._pack_params(cfg)
+        parents = jnp.asarray(np.asarray(
+            [p[0] for p in self._particles], np.int32))
+        periodic = self.usesPeriodicBoundaryConditions()
+        use_cutoff = self._method != AmoebaVdwForce.NoCutoff
+        cutoff = self._cutoff
+        sigma_rule = self._sigma_rule.upper()
+        eps_rule = self._eps_rule.upper()
+        excl_pairs = [(i, j) for i, ex in enumerate(self._exclusions)
+                      for j in ex if j > i]
+        exc_mask_np = np.zeros((n, n), bool)
+        for (i, j) in excl_pairs:
+            exc_mask_np[i, j] = exc_mask_np[j, i] = True
+        np.fill_diagonal(exc_mask_np, True)
+        keep = ~exc_mask_np[np.triu_indices(n, 1)]
+        iu, ju = np.triu_indices(n, 1)
+        iu, ju = iu[keep].astype(np.int32), ju[keep].astype(np.int32)
+        iu_j = jnp.asarray(iu)
+        ju_j = jnp.asarray(ju)
+
+        def energy_fn(pos, box, p, gp):
+            if len(iu) == 0:
+                return jnp.zeros((), accum)
+            # hydrogen reduction: interaction site moves toward the parent
+            red = p["reduction"][:, None]
+            site = pos[parents] + red * (pos - pos[parents])
+            dr = site[iu_j] - site[ju_j]
+            if periodic:
+                dr = geom.periodic_delta(dr, box)
+            r = geom.distance(dr)
+            si = p["sigma"][iu_j]
+            sj = p["sigma"][ju_j]
+            ei = p["epsilon"][iu_j]
+            ej = p["epsilon"][ju_j]
+            if sigma_rule == "CUBIC-MEAN":
+                r0 = (si ** 3 + sj ** 3) / (si ** 2 + sj ** 2)
+            elif sigma_rule == "GEOMETRIC":
+                r0 = 2.0 * jnp.sqrt(si * sj)
+            else:  # ARITHMETIC
+                r0 = si + sj
+            if eps_rule == "HHG":
+                e0 = 4.0 * ei * ej / (jnp.sqrt(ei) + jnp.sqrt(ej)) ** 2
+            elif eps_rule == "GEOMETRIC":
+                e0 = jnp.sqrt(ei * ej)
+            else:  # ARITHMETIC
+                e0 = 0.5 * (ei + ej)
+            rho = r / r0
+            t1 = (1.07 / (rho + 0.07)) ** 7
+            t2 = 1.12 / (rho ** 7 + 0.12) - 2.0
+            e = e0 * t1 * t2
+            if use_cutoff:
+                e = jnp.where(r < cutoff, e, 0.0)
+            return jnp.sum(e.astype(accum))
+
+        return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
+                             params=params, energy_fn=energy_fn,
+                             uses_pbc=periodic)
+
+
+class AmoebaMultipoleForce(Force):
+    """Point multipoles with induced-dipole polarization
+    (AmoebaMultipoleForce.h:72-92). This round: NoCutoff direct space,
+    Mutual (fixed-point SCF) / Direct / Extrapolated polarization, Thole
+    damping, local-frame multipole rotation (ZThenX / Bisector / ZBisect /
+    ThreeFold / ZOnly / NoAxisType)."""
+
+    NoCutoff = 0
+    PME = 1
+    Mutual = 0
+    Direct = 1
+    Extrapolated = 2
+    ZThenX = 0
+    Bisector = 1
+    ZBisect = 2
+    ThreeFold = 3
+    ZOnly = 4
+    NoAxisType = 5
+
+    # covalent map types
+    Covalent12 = 0
+    Covalent13 = 1
+    Covalent14 = 2
+    Covalent15 = 3
+    PolarizationCovalent11 = 4
+    PolarizationCovalent12 = 5
+    PolarizationCovalent13 = 6
+    PolarizationCovalent14 = 7
+
+    def __init__(self):
+        super().__init__()
+        self._particles = []   # dicts
+        self._covalent = []    # list of dict type -> [indices]
+        self._method = AmoebaMultipoleForce.NoCutoff
+        self._polarization = AmoebaMultipoleForce.Mutual
+        self._cutoff = 1.0
+        self._mutual_max_iter = 60
+        self._mutual_eps = 1e-5
+        self._extrapolation_coefficients = [-0.154, 0.017, 0.657, 0.475]
+
+    def getNumMultipoles(self):
+        return len(self._particles)
+
+    def addMultipole(self, charge, molecularDipole, molecularQuadrupole,
+                     axisType, multipoleAtomZ, multipoleAtomX,
+                     multipoleAtomY, thole, dampingFactor, polarity):
+        self._particles.append({
+            "charge": float(u.strip(charge, u.elementary_charge)),
+            "dipole": [float(x) for x in u.strip(molecularDipole)],
+            "quadrupole": [float(x) for x in u.strip(molecularQuadrupole)],
+            "axisType": int(axisType),
+            "atomZ": int(multipoleAtomZ),
+            "atomX": int(multipoleAtomX),
+            "atomY": int(multipoleAtomY),
+            "thole": float(thole),
+            "damp": float(dampingFactor),
+            "polarity": float(u.strip(polarity)),
+        })
+        self._covalent.append({})
+        return len(self._particles) - 1
+
+    def getMultipoleParameters(self, index):
+        p = self._particles[index]
+        return (p["charge"], p["dipole"], p["quadrupole"], p["axisType"],
+                p["atomZ"], p["atomX"], p["atomY"], p["thole"], p["damp"],
+                p["polarity"])
+
+    def setMultipoleParameters(self, index, charge, molecularDipole,
+                               molecularQuadrupole, axisType, multipoleAtomZ,
+                               multipoleAtomX, multipoleAtomY, thole,
+                               dampingFactor, polarity):
+        self._particles[index] = {
+            "charge": float(u.strip(charge, u.elementary_charge)),
+            "dipole": [float(x) for x in u.strip(molecularDipole)],
+            "quadrupole": [float(x) for x in u.strip(molecularQuadrupole)],
+            "axisType": int(axisType), "atomZ": int(multipoleAtomZ),
+            "atomX": int(multipoleAtomX), "atomY": int(multipoleAtomY),
+            "thole": float(thole), "damp": float(dampingFactor),
+            "polarity": float(u.strip(polarity))}
+
+    def setCovalentMap(self, index, typeId, covalentAtoms):
+        self._covalent[index][int(typeId)] = [int(x) for x in covalentAtoms]
+
+    def getCovalentMap(self, index, typeId):
+        return list(self._covalent[index].get(int(typeId), []))
+
+    def getNonbondedMethod(self):
+        return self._method
+
+    def setNonbondedMethod(self, method):
+        self._method = int(method)
+
+    def getPolarizationType(self):
+        return self._polarization
+
+    def setPolarizationType(self, ptype):
+        self._polarization = int(ptype)
+
+    def getCutoffDistance(self):
+        return u.Quantity(self._cutoff, _NM)
+
+    def setCutoffDistance(self, cutoff):
+        self._cutoff = float(u.strip(cutoff, _NM))
+
+    def getMutualInducedMaxIterations(self):
+        return self._mutual_max_iter
+
+    def setMutualInducedMaxIterations(self, n):
+        self._mutual_max_iter = int(n)
+
+    def getMutualInducedTargetEpsilon(self):
+        return self._mutual_eps
+
+    def setMutualInducedTargetEpsilon(self, eps):
+        self._mutual_eps = float(eps)
+
+    def getExtrapolationCoefficients(self):
+        return list(self._extrapolation_coefficients)
+
+    def setExtrapolationCoefficients(self, coeffs):
+        self._extrapolation_coefficients = [float(c) for c in coeffs]
+
+    def usesPeriodicBoundaryConditions(self):
+        return self._method == AmoebaMultipoleForce.PME
+
+    def updateParametersInContext(self, context):
+        context._update_force_parameters(self)
+
+    def getInducedDipoles(self, context):
+        mods = context._modules_for_force(self)
+        s = context._state
+        return np.asarray(mods[0]._induced_fn(
+            s["positions"], s["box"], mods[0].params, s["gp"]))
+
+    def _pack_params(self, cfg):
+        n = len(self._particles)
+        charge = np.array([p["charge"] for p in self._particles])
+        dipole = np.array([p["dipole"] for p in self._particles]) \
+            if n else np.zeros((0, 3))
+        quad = np.array([p["quadrupole"] for p in self._particles]) \
+            if n else np.zeros((0, 9))
+        thole = np.array([p["thole"] for p in self._particles])
+        polarity = np.array([p["polarity"] for p in self._particles])
+        dt = cfg.dtype
+        return {"charge": jnp.asarray(charge.astype(dt)),
+                "dipole": jnp.asarray(dipole.astype(dt)),
+                "quad": jnp.asarray(quad.reshape(n, 3, 3).astype(dt)),
+                "thole": jnp.asarray(thole.astype(dt)),
+                "polarity": jnp.asarray(polarity.astype(dt))}
+
+    def _scale_matrices(self, n):
+        """Covalent scale factors (AMOEBA conventions): permanent-permanent
+        m-scale (1-2,1-3: 0; 1-4: 0.4; 1-5: 0.8), induced-permanent p-scale,
+        mutual u-scale via polarization groups."""
+        m = np.ones((n, n))
+        p = np.ones((n, n))
+        d = np.ones((n, n))   # direct-induction scale (polarization groups)
+        u_s = np.ones((n, n))
+        for i, cov in enumerate(self._covalent):
+            for j in cov.get(self.Covalent12, []):
+                m[i, j] = 0.0
+            for j in cov.get(self.Covalent13, []):
+                m[i, j] = 0.0
+            for j in cov.get(self.Covalent14, []):
+                m[i, j] = 0.4
+            for j in cov.get(self.Covalent15, []):
+                m[i, j] = 0.8
+            group = set(cov.get(self.PolarizationCovalent11, []))
+            for j in cov.get(self.Covalent12, []):
+                p[i, j] = 0.0
+            for j in cov.get(self.Covalent13, []):
+                p[i, j] = 0.0
+            for j in cov.get(self.Covalent14, []):
+                p[i, j] = 0.5 if j in group else 1.0
+            for j in group:
+                if j != i:
+                    d[i, j] = 0.0
+                    u_s[i, j] = 1.0
+        np.fill_diagonal(m, 0.0)
+        np.fill_diagonal(p, 0.0)
+        np.fill_diagonal(d, 0.0)
+        np.fill_diagonal(u_s, 0.0)
+        return m, p, d, u_s
+
+    def _compile(self, system, cfg):
+        n = cfg.n_particles
+        if len(self._particles) != n:
+            raise OpenMMException(
+                "AmoebaMultipoleForce must have same particle count as System")
+        if self._method == AmoebaMultipoleForce.PME:
+            raise OpenMMException(
+                "AmoebaMultipoleForce PME is not implemented yet; "
+                "use NoCutoff (multipole PME lands next round)")
+        dt = cfg.dtype
+        accum = cfg.accum_dtype
+        params = self._pack_params(cfg)
+        m_s, p_s, d_s, u_s = self._scale_matrices(n)
+        m_s = jnp.asarray(m_s.astype(dt))
+        p_s = jnp.asarray(p_s.astype(dt))
+        d_s = jnp.asarray(d_s.astype(dt))
+        u_sj = jnp.asarray(u_s.astype(dt))
+        axis_type = jnp.asarray(np.asarray(
+            [p["axisType"] for p in self._particles], np.int32))
+        atom_z = jnp.asarray(np.asarray(
+            [max(p["atomZ"], 0) for p in self._particles], np.int32))
+        atom_x = jnp.asarray(np.asarray(
+            [max(p["atomX"], 0) for p in self._particles], np.int32))
+        atom_y = jnp.asarray(np.asarray(
+            [max(p["atomY"], 0) for p in self._particles], np.int32))
+        damp = jnp.asarray(np.asarray(
+            [p["damp"] for p in self._particles]).astype(dt))
+        polarization = self._polarization
+        max_iter = min(self._mutual_max_iter, 30)
+        ext_coeffs = list(self._extrapolation_coefficients)
+
+        def rotation_matrices(pos, p):
+            """Lab-frame rotation matrix per site from its axis definition."""
+            zdir = pos[atom_z] - pos
+            xdir = pos[atom_x] - pos
+            ydir = pos[atom_y] - pos
+
+            def unit(v):
+                return v / jnp.sqrt(jnp.maximum(
+                    jnp.sum(v * v, -1, keepdims=True), 1e-20))
+
+            uz = unit(zdir)
+            at = axis_type[:, None]
+            # Bisector: z = bisector of z and x dirs
+            uz = jnp.where(at == AmoebaMultipoleForce.Bisector,
+                           unit(unit(zdir) + unit(xdir)), uz)
+            # default x: component of xdir orthogonal to z
+            ux_raw = jnp.where(at == AmoebaMultipoleForce.ZOnly,
+                               jnp.array([1.0, 0.0, 0.0], dt), unit(xdir))
+            ux = unit(ux_raw - uz * jnp.sum(ux_raw * uz, -1, keepdims=True))
+            # fallback when x degenerate
+            alt = jnp.cross(uz, jnp.array([0.0, 0.0, 1.0], dt))
+            alt2 = jnp.cross(uz, jnp.array([0.0, 1.0, 0.0], dt))
+            alt = jnp.where(jnp.sum(alt * alt, -1, keepdims=True) > 0.01,
+                            alt, alt2)
+            bad = jnp.sum(ux * ux, -1, keepdims=True) < 1e-8
+            ux = jnp.where(bad, unit(alt), ux)
+            uy = jnp.cross(uz, ux)
+            # NoAxisType: identity
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=dt), (n, 3, 3))
+            R = jnp.stack([ux, uy, uz], axis=-2)   # rows = lab axes of x,y,z
+            R = jnp.where((at == AmoebaMultipoleForce.NoAxisType)[..., None],
+                          eye, R)
+            return R
+
+        def lab_multipoles(pos, p):
+            R = rotation_matrices(pos, p)
+            # molecular-frame dipole (x,y,z) -> lab: d_lab = R^T d_mol
+            d_lab = jnp.einsum("nij,nj->ni", jnp.swapaxes(R, 1, 2),
+                               p["dipole"])
+            q_lab = jnp.einsum("nki,nkl,nlj->nij", R, p["quad"], R)
+            return d_lab, q_lab
+
+        def fields_and_energy(pos, box, p, gp):
+            """Permanent multipole energy and field via interaction tensors.
+
+            Potential of site j: phi(x) = q G - d.DG + (1/3) Theta : DDG with
+            G = 1/|x - r_j|; energy of site i in it:
+            E_ij = (q_i + d_i.D + (1/3)Theta_i:DD) phi_j(r_i).
+            T tensors are the successive derivatives of 1/r.
+            """
+            charge = p["charge"]
+            d_lab, q_lab = lab_multipoles(pos, p)
+            dr = pos[:, None, :] - pos[None, :, :]    # r = r_i - r_j
+            r2 = jnp.sum(dr * dr, -1)
+            mask = ~jnp.eye(n, dtype=bool)
+            r2s = jnp.where(mask, r2, 1.0)
+            r = jnp.sqrt(r2s)
+            inv_r = 1.0 / r
+            inv_r2 = inv_r * inv_r
+            inv_r3 = inv_r * inv_r2
+            inv_r5 = inv_r3 * inv_r2
+            inv_r7 = inv_r5 * inv_r2
+            inv_r9 = inv_r7 * inv_r2
+
+            qi = charge[:, None]
+            qj = charge[None, :]
+            di_r = jnp.einsum("ik,ijk->ij", d_lab, dr)
+            dj_r = jnp.einsum("jk,ijk->ij", d_lab, dr)
+            di_dj = jnp.einsum("ik,jk->ij", d_lab, d_lab)
+            Qi_r = jnp.einsum("ikl,ijl->ijk", q_lab, dr)
+            Qj_r = jnp.einsum("jkl,ijl->ijk", q_lab, dr)
+            rQi_r = jnp.einsum("ijk,ijk->ij", Qi_r, dr)
+            rQj_r = jnp.einsum("ijk,ijk->ij", Qj_r, dr)
+            tr_Qi = jnp.trace(q_lab, axis1=1, axis2=2)
+            di_Qj_r = jnp.einsum("ik,ijk->ij", d_lab, Qj_r)
+            dj_Qi_r = jnp.einsum("jk,ijk->ij", d_lab, Qi_r)
+            Qi_Qj = jnp.einsum("ikl,jkl->ij", q_lab, q_lab)
+            QiQj_rr = jnp.einsum("ijk,ijk->ij", Qi_r, Qj_r)
+
+            # contractions with the T tensors (r = r_i - r_j):
+            # T = 1/r ; T_a = -r_a/r^3 ; T_ab = (3 r_a r_b - r^2 d_ab)/r^5
+            # T_abc = -15 r r r /r^7 + 3 (r d perms)/r^5
+            # T_abcd = 105 rrrr/r^9 - 15 (rr d perms)/r^7 + 3 (dd perms)/r^5
+            e = qi * qj * inv_r
+            # q_j d_i.T_a - q_i d_j.T_a with T_a = -r/r^3
+            e = e + (-qj * di_r + qi * dj_r) * inv_r3
+            # - d_i^a d_j^b T_ab
+            e = e - (3.0 * di_r * dj_r * inv_r5 - di_dj * inv_r3)
+            # (1/3)(q_i Theta_j + q_j Theta_i) : T_ab
+            e = e + (1.0 / 3.0) * (
+                qi * (3.0 * rQj_r * inv_r5 - tr_Qi[None, :] * inv_r3)
+                + qj * (3.0 * rQi_r * inv_r5 - tr_Qi[:, None] * inv_r3))
+            # (1/3)(d_i : Theta_j T_abc - Theta_i : d_j T_abc)
+            # d_i^a Theta_j^bc T_abc = -15 (d.r)(rQr)/r^7
+            #   + 3[ (d.r) tr(Q) + 2 d.(Q r) ]/r^5
+            t3_i = (-15.0 * di_r * rQj_r * inv_r7
+                    + 3.0 * (di_r * tr_Qi[None, :] + 2.0 * di_Qj_r) * inv_r5)
+            t3_j = (-15.0 * dj_r * rQi_r * inv_r7
+                    + 3.0 * (dj_r * tr_Qi[:, None] + 2.0 * dj_Qi_r) * inv_r5)
+            e = e + (1.0 / 3.0) * (t3_i - t3_j)
+            # (1/9) Theta_i^ab Theta_j^cd T_abcd:
+            #  105 rQir rQjr /r^9
+            #  -15 [ rQir trQj + rQjr trQi + 4 rQiQjr ] /r^7
+            #  + 3 [ trQi trQj + 2 Qi:Qj ] /r^5
+            t4 = (105.0 * rQi_r * rQj_r * inv_r9
+                  - 15.0 * (rQi_r * tr_Qi[None, :] + rQj_r * tr_Qi[:, None]
+                            + 4.0 * QiQj_rr) * inv_r7
+                  + 3.0 * (tr_Qi[:, None] * tr_Qi[None, :] + 2.0 * Qi_Qj)
+                  * inv_r5)
+            e = e + (1.0 / 9.0) * t4
+            e_perm = 0.5 * ONE_4PI_EPS0 * jnp.sum(
+                jnp.where(mask, e * m_s, 0.0).astype(accum))
+
+            # permanent field at site i: -D phi_j(r_i)
+            # -D(q G) = q r/r^3 ; -D(-d.DG) = (3(d.r)r/r^5 - d/r^3)... with
+            # signs: field = q_j dr/r^3 + 3(d_j.r)dr/r^5 - d_j/r^3 + quad
+            f_q = qj[:, :, None] * dr * inv_r3[:, :, None]
+            f_d = (3.0 * dj_r[:, :, None] * dr * inv_r5[:, :, None]
+                   - d_lab[None, :, :] * inv_r3[:, :, None])
+            # -(1/3) D(Theta_j : DDG) = (1/3)[15 (rQr) r/r^7
+            #        - 3(2 Q r + tr(Q) r)/r^5 ]... assembled:
+            f_quad = (5.0 * rQj_r[:, :, None] * dr * inv_r7[:, :, None]
+                      - (2.0 * Qj_r + tr_Qi[None, :, None] * dr)
+                      * inv_r5[:, :, None])
+            field_terms = f_q + f_d + f_quad
+
+            # Thole damping for induction
+            dd = damp[:, None] * damp[None, :]
+            dd = jnp.where(dd > 0, dd, 1.0)
+            a_th = jnp.minimum(p["thole"][:, None], p["thole"][None, :])
+            uu = a_th * (r / dd) ** 3
+            expu = jnp.exp(-jnp.minimum(uu, 50.0))
+            lam3 = jnp.where(mask, 1.0 - expu, 0.0)
+            lam5 = jnp.where(mask, 1.0 - (1.0 + uu) * expu, 0.0)
+
+            f_scaled = field_terms * (d_s * lam3)[:, :, None]
+            e_field = jnp.sum(f_scaled, axis=1)
+            return e_perm, e_field, (dr, r, inv_r3, inv_r5, lam3, lam5, mask)
+
+        def induce(p, e_field, geom_cache):
+            dr, r, inv_r3, inv_r5, lam3e, lam5e, mask = geom_cache
+            alpha = p["polarity"][:, None]
+
+            def dipole_field(mu):
+                mu_r = jnp.einsum("jk,ijk->ij", mu, dr)
+                f = (mu[None, :, :] * (lam3e * inv_r3)[:, :, None]
+                     - 3.0 * (mu_r * lam5e * inv_r5)[:, :, None] * dr)
+                return -jnp.sum(f * u_sj[:, :, None], axis=1)
+
+            mu0 = alpha * e_field
+            if polarization == AmoebaMultipoleForce.Direct:
+                return mu0
+            if polarization == AmoebaMultipoleForce.Extrapolated:
+                mus = [mu0]
+                for _ in range(len(ext_coeffs) - 1):
+                    mus.append(alpha * (e_field + dipole_field(mus[-1])))
+                total = sum(c * m for c, m in zip(ext_coeffs, mus))
+                return total
+            # Mutual: fixed-point with successive over-relaxation
+            omega = 0.7
+
+            def body(i, mu):
+                new = alpha * (e_field + dipole_field(mu))
+                return (1 - omega) * mu + omega * new
+
+            return jax.lax.fori_loop(0, max_iter, body, mu0)
+
+        def energy_fn(pos, box, p, gp):
+            e_perm, e_field, geom_cache = fields_and_energy(pos, box, p, gp)
+            if jnp.ndim(p["polarity"]) and n > 0:
+                mu = induce(p, e_field, geom_cache)
+                # polarization energy: -1/2 mu . E_perm (p-scaled field)
+                e_pol = -0.5 * ONE_4PI_EPS0 * jnp.sum(mu * e_field)
+                return e_perm + e_pol.astype(accum)
+            return e_perm
+
+        cf = CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
+                           params=params, energy_fn=energy_fn,
+                           uses_pbc=False)
+
+        def induced_fn(pos, box, p, gp):
+            _, e_field, geom_cache = fields_and_energy(pos, box, p, gp)
+            return induce(p, e_field, geom_cache)
+
+        cf._induced_fn = induced_fn
+        return cf

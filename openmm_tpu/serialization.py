@@ -919,3 +919,262 @@ def _de_state(el):
             kw[key] = np.asarray([[float(row.get(c)) for c in "xyz"]
                                   for row in sec])
     return State(**kw)
+
+
+# --- additional custom-force proxies -----------------------------------------
+def _ser_custom_angle(el, force):
+    _ser_custom_bonded(
+        el, force, 3,
+        lambda: [force.getPerAngleParameterName(i)
+                 for i in range(force.getNumPerAngleParameters())],
+        lambda: [(force.getAngleParameters(i)[:3],
+                  force.getAngleParameters(i)[3])
+                 for i in range(force.getNumAngles())])
+
+
+def _de_custom_angle(el):
+    force = F.CustomAngleForce(el.get("energy"))
+    force.setUsesPeriodicBoundaryConditions(bool(int(el.get("usesPeriodic", "0"))))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerTermParameters"):
+        force.addPerAngleParameter(p.get("name"))
+    for t in el.find("Terms"):
+        params = [float(x) for x in t.get("params").split()] \
+            if t.get("params") else []
+        force.addAngle(int(t.get("p1")), int(t.get("p2")), int(t.get("p3")),
+                       params)
+    return force
+
+
+def _ser_custom_torsion(el, force):
+    _ser_custom_bonded(
+        el, force, 4,
+        lambda: [force.getPerTorsionParameterName(i)
+                 for i in range(force.getNumPerTorsionParameters())],
+        lambda: [(force.getTorsionParameters(i)[:4],
+                  force.getTorsionParameters(i)[4])
+                 for i in range(force.getNumTorsions())])
+
+
+def _de_custom_torsion(el):
+    force = F.CustomTorsionForce(el.get("energy"))
+    force.setUsesPeriodicBoundaryConditions(bool(int(el.get("usesPeriodic", "0"))))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerTermParameters"):
+        force.addPerTorsionParameter(p.get("name"))
+    for t in el.find("Terms"):
+        params = [float(x) for x in t.get("params").split()] \
+            if t.get("params") else []
+        force.addTorsion(int(t.get("p1")), int(t.get("p2")),
+                         int(t.get("p3")), int(t.get("p4")), params)
+    return force
+
+
+def _ser_custom_compound(el, force):
+    el.set("particles", str(force.getNumParticlesPerBond()))
+    _ser_custom_bonded(
+        el, force, force.getNumParticlesPerBond(),
+        lambda: [force.getPerBondParameterName(i)
+                 for i in range(force.getNumPerBondParameters())],
+        lambda: [tuple(force.getBondParameters(i))
+                 for i in range(force.getNumBonds())])
+
+
+def _de_custom_compound(el):
+    n = int(el.get("particles"))
+    force = F.CustomCompoundBondForce(n, el.get("energy"))
+    force.setUsesPeriodicBoundaryConditions(bool(int(el.get("usesPeriodic", "0"))))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerTermParameters"):
+        force.addPerBondParameter(p.get("name"))
+    for t in el.find("Terms"):
+        params = [float(x) for x in t.get("params").split()] \
+            if t.get("params") else []
+        atoms = [int(t.get("p%d" % (k + 1))) for k in range(n)]
+        force.addBond(atoms, params)
+    return force
+
+
+def _ser_custom_centroid(el, force):
+    el.set("groupsPerBond", str(force.getNumGroupsPerBond()))
+    el.set("energy", force.getEnergyFunction())
+    el.set("usesPeriodic", str(int(force.usesPeriodicBoundaryConditions())))
+    _ser_globals(el, force)
+    _ser_functions(el, force)
+    pp = ET.SubElement(el, "PerTermParameters")
+    for i in range(force.getNumPerBondParameters()):
+        ET.SubElement(pp, "Parameter", name=force.getPerBondParameterName(i))
+    groups = ET.SubElement(el, "Groups")
+    for i in range(force.getNumGroups()):
+        particles, weights = force.getGroupParameters(i)
+        ET.SubElement(groups, "Group",
+                      particles=" ".join(str(x) for x in particles),
+                      weights=" ".join(_fmt(w) for w in weights))
+    terms = ET.SubElement(el, "Terms")
+    for i in range(force.getNumBonds()):
+        g, params = force.getBondParameters(i)
+        ET.SubElement(terms, "Term", groups=" ".join(str(x) for x in g),
+                      params=" ".join(_fmt(x) for x in params))
+
+
+def _de_custom_centroid(el):
+    n = int(el.get("groupsPerBond"))
+    force = F.CustomCentroidBondForce(n, el.get("energy"))
+    force.setUsesPeriodicBoundaryConditions(bool(int(el.get("usesPeriodic", "0"))))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerTermParameters"):
+        force.addPerBondParameter(p.get("name"))
+    for g in el.find("Groups"):
+        particles = [int(x) for x in g.get("particles").split()]
+        weights = ([float(x) for x in g.get("weights").split()]
+                   if g.get("weights") else None)
+        force.addGroup(particles, weights)
+    for t in el.find("Terms"):
+        groups = [int(x) for x in t.get("groups").split()]
+        params = [float(x) for x in t.get("params").split()] \
+            if t.get("params") else []
+        force.addBond(groups, params)
+    return force
+
+
+def _ser_custom_gb(el, force):
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("cutoff", _fmt(force.getCutoffDistance()._value))
+    _ser_globals(el, force)
+    _ser_functions(el, force)
+    pp = ET.SubElement(el, "PerParticleParameters")
+    for i in range(force.getNumPerParticleParameters()):
+        ET.SubElement(pp, "Parameter",
+                      name=force.getPerParticleParameterName(i))
+    values = ET.SubElement(el, "ComputedValues")
+    for i in range(force.getNumComputedValues()):
+        name, expr, t = force.getComputedValueParameters(i)
+        ET.SubElement(values, "Value", name=name, expression=expr,
+                      type=str(t))
+    terms = ET.SubElement(el, "EnergyTerms")
+    for i in range(force.getNumEnergyTerms()):
+        expr, t = force.getEnergyTermParameters(i)
+        ET.SubElement(terms, "Term", expression=expr, type=str(t))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        ET.SubElement(particles, "Particle", params=" ".join(
+            _fmt(x) for x in force.getParticleParameters(i)))
+    exclusions = ET.SubElement(el, "Exclusions")
+    for i in range(force.getNumExclusions()):
+        p1, p2 = force.getExclusionParticles(i)
+        ET.SubElement(exclusions, "Exclusion", p1=str(p1), p2=str(p2))
+
+
+def _de_custom_gb(el):
+    force = F.CustomGBForce()
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1")))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerParticleParameters"):
+        force.addPerParticleParameter(p.get("name"))
+    for v in el.find("ComputedValues"):
+        force.addComputedValue(v.get("name"), v.get("expression"),
+                               int(v.get("type")))
+    for t in el.find("EnergyTerms"):
+        force.addEnergyTerm(t.get("expression"), int(t.get("type")))
+    for p in el.find("Particles"):
+        params = [float(x) for x in p.get("params").split()] \
+            if p.get("params") else []
+        force.addParticle(params)
+    for e in el.find("Exclusions"):
+        force.addExclusion(int(e.get("p1")), int(e.get("p2")))
+    return force
+
+
+def _ser_gayberne(el, force):
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("cutoff", _fmt(force.getCutoffDistance()._value))
+    el.set("useSwitchingFunction", str(int(force.getUseSwitchingFunction())))
+    el.set("switchingDistance", _fmt(force.getSwitchingDistance()._value))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        p = force.getParticleParameters(i)
+        ET.SubElement(particles, "Particle", sigma=_fmt(p[0]),
+                      epsilon=_fmt(p[1]), xparticle=str(p[2]),
+                      yparticle=str(p[3]), sx=_fmt(p[4]), sy=_fmt(p[5]),
+                      sz=_fmt(p[6]), ex=_fmt(p[7]), ey=_fmt(p[8]),
+                      ez=_fmt(p[9]))
+    exceptions = ET.SubElement(el, "Exceptions")
+    for i in range(force.getNumExceptions()):
+        p1, p2, sig, eps = force.getExceptionParameters(i)
+        ET.SubElement(exceptions, "Exception", p1=str(p1), p2=str(p2),
+                      sigma=_fmt(sig), epsilon=_fmt(eps))
+
+
+def _de_gayberne(el):
+    force = F.GayBerneForce()
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1")))
+    force.setUseSwitchingFunction(bool(int(el.get("useSwitchingFunction", "0"))))
+    force.setSwitchingDistance(float(el.get("switchingDistance", "-1")))
+    for p in el.find("Particles"):
+        force.addParticle(float(p.get("sigma")), float(p.get("epsilon")),
+                          int(p.get("xparticle")), int(p.get("yparticle")),
+                          float(p.get("sx")), float(p.get("sy")),
+                          float(p.get("sz")), float(p.get("ex")),
+                          float(p.get("ey")), float(p.get("ez")))
+    for e in el.find("Exceptions"):
+        force.addException(int(e.get("p1")), int(e.get("p2")),
+                           float(e.get("sigma")), float(e.get("epsilon")))
+    return force
+
+
+def _ser_drude(el, force):
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        p = force.getParticleParameters(i)
+        ET.SubElement(particles, "Particle", particle=str(p[0]),
+                      particle1=str(p[1]), particle2=str(p[2]),
+                      particle3=str(p[3]), particle4=str(p[4]),
+                      charge=_fmt(p[5]), polarizability=_fmt(p[6]),
+                      aniso12=_fmt(p[7]), aniso34=_fmt(p[8]))
+    pairs = ET.SubElement(el, "ScreenedPairs")
+    for i in range(force.getNumScreenedPairs()):
+        p1, p2, thole = force.getScreenedPairParameters(i)
+        ET.SubElement(pairs, "Pair", particle1=str(p1), particle2=str(p2),
+                      thole=_fmt(thole))
+
+
+def _de_drude(el):
+    force = F.DrudeForce()
+    for p in el.find("Particles"):
+        force.addParticle(int(p.get("particle")), int(p.get("particle1")),
+                          int(p.get("particle2")), int(p.get("particle3")),
+                          int(p.get("particle4")), float(p.get("charge")),
+                          float(p.get("polarizability")),
+                          float(p.get("aniso12")), float(p.get("aniso34")))
+    for pr in el.find("ScreenedPairs"):
+        force.addScreenedPair(int(pr.get("particle1")),
+                              int(pr.get("particle2")),
+                              float(pr.get("thole")))
+    return force
+
+
+_FORCE_SERIALIZERS.update({
+    "CustomAngleForce": _ser_custom_angle,
+    "CustomTorsionForce": _ser_custom_torsion,
+    "CustomCompoundBondForce": _ser_custom_compound,
+    "CustomCentroidBondForce": _ser_custom_centroid,
+    "CustomGBForce": _ser_custom_gb,
+    "GayBerneForce": _ser_gayberne,
+    "DrudeForce": _ser_drude,
+})
+_FORCE_DESERIALIZERS.update({
+    "CustomAngleForce": _de_custom_angle,
+    "CustomTorsionForce": _de_custom_torsion,
+    "CustomCompoundBondForce": _de_custom_compound,
+    "CustomCentroidBondForce": _de_custom_centroid,
+    "CustomGBForce": _de_custom_gb,
+    "GayBerneForce": _de_gayberne,
+    "DrudeForce": _de_drude,
+})
