@@ -815,11 +815,53 @@ def _ser_integrator(integ):
                          ("friction", "getFriction"),
                          ("errorTol", "getErrorTolerance"),
                          ("maxStepSize", "getMaximumStepSize"),
-                         ("randomSeed", "getRandomNumberSeed")):
+                         ("randomSeed", "getRandomNumberSeed"),
+                         ("drudeTemperature", "getDrudeTemperature"),
+                         ("drudeFriction", "getDrudeFriction"),
+                         ("maxDrudeDistance", "getMaxDrudeDistance"),
+                         ("minimizationErrorTolerance",
+                          "getMinimizationErrorTolerance"),
+                         ("numCopies", "getNumCopies"),
+                         ("applyThermostat", "getApplyThermostat")):
         if hasattr(integ, getter):
             val = getattr(integ, getter)()
-            el.set(attr, _fmt(u.strip(val)) if not isinstance(val, int)
-                   else str(val))
+            if isinstance(val, bool):
+                el.set(attr, str(int(val)))
+            elif isinstance(val, int):
+                el.set(attr, str(val))
+            else:
+                el.set(attr, _fmt(u.strip(val)))
+    if name == "NoseHooverIntegrator":
+        el.set("collisionFrequency", _fmt(integ._frequency))
+        el.set("chainLength", str(integ._chain_length))
+        el.set("numMTS", str(integ._n_mts))
+        el.set("numYoshidaSuzuki", str(integ._n_ys))
+    if name == "CustomIntegrator":
+        el.set("kineticEnergy", integ.getKineticEnergyExpression())
+        gv = ET.SubElement(el, "GlobalVariables")
+        for i in range(integ.getNumGlobalVariables()):
+            ET.SubElement(gv, "Variable",
+                          name=integ.getGlobalVariableName(i),
+                          value=_fmt(integ.getGlobalVariable(i)))
+        import numpy as _np
+        pv = ET.SubElement(el, "PerDofVariables")
+        for i in range(integ.getNumPerDofVariables()):
+            # values are only materialised once bound to a context; store the
+            # scalar initial value otherwise (CustomIntegrator.h behavior)
+            try:
+                vals = _np.asarray(integ.getPerDofVariable(i, asNumpy=True))
+                values = " ".join(_fmt(x) for x in vals.ravel())
+            except Exception:
+                values = ""
+            ET.SubElement(pv, "Variable",
+                          name=integ.getPerDofVariableName(i),
+                          initial=_fmt(integ._perdof_vars[i][1]),
+                          values=values)
+        steps = ET.SubElement(el, "Computations")
+        for i in range(integ.getNumComputations()):
+            stype, var, expr = integ.getComputationStep(i)
+            ET.SubElement(steps, "Computation", type=str(stype),
+                          variable=var, expression=expr)
     return el
 
 
@@ -843,6 +885,53 @@ def _de_integrator(el):
         integ = I.VariableLangevinIntegrator(float(el.get("temperature")),
                                              float(el.get("friction")),
                                              float(el.get("errorTol")))
+    elif t == "NoseHooverIntegrator":
+        integ = I.NoseHooverIntegrator(
+            float(el.get("temperature", "298")),
+            float(el.get("collisionFrequency", "50")), step,
+            int(el.get("chainLength", "3")), int(el.get("numMTS", "3")),
+            int(el.get("numYoshidaSuzuki", "7")))
+    elif t == "DrudeLangevinIntegrator":
+        integ = I.DrudeLangevinIntegrator(
+            float(el.get("temperature")), float(el.get("friction")),
+            float(el.get("drudeTemperature")),
+            float(el.get("drudeFriction")), step)
+        integ.setMaxDrudeDistance(float(el.get("maxDrudeDistance", "0")))
+    elif t == "DrudeSCFIntegrator":
+        integ = I.DrudeSCFIntegrator(step)
+        integ.setMinimizationErrorTolerance(
+            float(el.get("minimizationErrorTolerance", "1")))
+    elif t == "RPMDIntegrator":
+        integ = I.RPMDIntegrator(int(el.get("numCopies")),
+                                 float(el.get("temperature")),
+                                 float(el.get("friction")), step)
+        integ.setApplyThermostat(bool(int(el.get("applyThermostat", "1"))))
+    elif t == "CustomIntegrator":
+        integ = I.CustomIntegrator(step)
+        integ.setKineticEnergyExpression(
+            el.get("kineticEnergy", "m*v*v/2"))
+        gv = el.find("GlobalVariables")
+        if gv is not None:
+            for v in gv:
+                integ.addGlobalVariable(v.get("name"),
+                                        float(v.get("value")))
+        pv = el.find("PerDofVariables")
+        if pv is not None:
+            import numpy as _np
+            for v in pv:
+                vals = _np.array([float(x)
+                                  for x in v.get("values", "").split()])
+                integ.addPerDofVariable(v.get("name"),
+                                        float(v.get("initial", "0")))
+                if vals.size:
+                    integ.setPerDofVariableByName(
+                        v.get("name"), vals.reshape(-1, 3))
+        steps = el.find("Computations")
+        if steps is not None:
+            for s in steps:
+                integ._steps.append((int(s.get("type")),
+                                     s.get("variable", ""),
+                                     s.get("expression", "")))
     else:
         raise OpenMMException("cannot deserialize integrator type %s" % t)
     integ.setConstraintTolerance(float(el.get("constraintTolerance", "1e-5")))
@@ -1177,4 +1266,200 @@ _FORCE_DESERIALIZERS.update({
     "CustomGBForce": _de_custom_gb,
     "GayBerneForce": _de_gayberne,
     "DrudeForce": _de_drude,
+})
+
+
+# --- CustomHbondForce (CustomHbondForceProxy.cpp schema analog) -------------
+def _ser_custom_hbond(el, force):
+    el.set("energy", force.getEnergyFunction())
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("cutoff", _fmt(force.getCutoffDistance()._value))
+    _ser_globals(el, force)
+    _ser_functions(el, force)
+    pd = ET.SubElement(el, "PerDonorParameters")
+    for i in range(force.getNumPerDonorParameters()):
+        ET.SubElement(pd, "Parameter", name=force.getPerDonorParameterName(i))
+    pa = ET.SubElement(el, "PerAcceptorParameters")
+    for i in range(force.getNumPerAcceptorParameters()):
+        ET.SubElement(pa, "Parameter",
+                      name=force.getPerAcceptorParameterName(i))
+    donors = ET.SubElement(el, "Donors")
+    for i in range(force.getNumDonors()):
+        d1, d2, d3, params = force.getDonorParameters(i)
+        ET.SubElement(donors, "Donor", d1=str(d1), d2=str(d2), d3=str(d3),
+                      params=" ".join(_fmt(x) for x in params))
+    acceptors = ET.SubElement(el, "Acceptors")
+    for i in range(force.getNumAcceptors()):
+        a1, a2, a3, params = force.getAcceptorParameters(i)
+        ET.SubElement(acceptors, "Acceptor", a1=str(a1), a2=str(a2),
+                      a3=str(a3),
+                      params=" ".join(_fmt(x) for x in params))
+    ex = ET.SubElement(el, "Exclusions")
+    for i in range(force.getNumExclusions()):
+        d, a = force.getExclusionParticles(i)
+        ET.SubElement(ex, "Exclusion", donor=str(d), acceptor=str(a))
+
+
+def _de_custom_hbond(el):
+    force = F.CustomHbondForce(el.get("energy"))
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1")))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerDonorParameters"):
+        force.addPerDonorParameter(p.get("name"))
+    for p in el.find("PerAcceptorParameters"):
+        force.addPerAcceptorParameter(p.get("name"))
+    for d in el.find("Donors"):
+        params = [float(x) for x in d.get("params").split()] \
+            if d.get("params") else []
+        force.addDonor(int(d.get("d1")), int(d.get("d2")), int(d.get("d3")),
+                       params)
+    for a in el.find("Acceptors"):
+        params = [float(x) for x in a.get("params").split()] \
+            if a.get("params") else []
+        force.addAcceptor(int(a.get("a1")), int(a.get("a2")),
+                          int(a.get("a3")), params)
+    for e in el.find("Exclusions"):
+        force.addExclusion(int(e.get("donor")), int(e.get("acceptor")))
+    return force
+
+
+# --- CustomManyParticleForce -------------------------------------------------
+def _ser_custom_manyparticle(el, force):
+    el.set("energy", force.getEnergyFunction())
+    el.set("particlesPerSet", str(force.getNumParticlesPerSet()))
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("permutationMode", str(force.getPermutationMode()))
+    el.set("cutoff", _fmt(force.getCutoffDistance()._value))
+    _ser_globals(el, force)
+    _ser_functions(el, force)
+    pp = ET.SubElement(el, "PerParticleParameters")
+    for i in range(force.getNumPerParticleParameters()):
+        ET.SubElement(pp, "Parameter",
+                      name=force.getPerParticleParameterName(i))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        params, ptype = force.getParticleParameters(i)
+        ET.SubElement(particles, "Particle", type=str(ptype),
+                      params=" ".join(_fmt(x) for x in params))
+    filters = ET.SubElement(el, "TypeFilters")
+    for i in range(force.getNumParticlesPerSet()):
+        types = force.getTypeFilter(i)
+        ET.SubElement(filters, "Filter", index=str(i),
+                      types=" ".join(str(t) for t in types))
+    ex = ET.SubElement(el, "Exclusions")
+    for i in range(force.getNumExclusions()):
+        p1, p2 = force.getExclusionParticles(i)
+        ET.SubElement(ex, "Exclusion", p1=str(p1), p2=str(p2))
+
+
+def _de_custom_manyparticle(el):
+    force = F.CustomManyParticleForce(int(el.get("particlesPerSet")),
+                                      el.get("energy"))
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setPermutationMode(int(el.get("permutationMode", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1")))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    for p in el.find("PerParticleParameters"):
+        force.addPerParticleParameter(p.get("name"))
+    for p in el.find("Particles"):
+        params = [float(x) for x in p.get("params").split()] \
+            if p.get("params") else []
+        force.addParticle(params, int(p.get("type", "0")))
+    filters = el.find("TypeFilters")
+    if filters is not None:
+        for f in filters:
+            types = [int(t) for t in f.get("types").split()] \
+                if f.get("types") else []
+            if types:
+                force.setTypeFilter(int(f.get("index")), types)
+    for e in el.find("Exclusions"):
+        force.addExclusion(int(e.get("p1")), int(e.get("p2")))
+    return force
+
+
+# --- CustomCVForce -----------------------------------------------------------
+def _ser_custom_cv(el, force):
+    el.set("energy", force.getEnergyFunction())
+    _ser_globals(el, force)
+    _ser_functions(el, force)
+    cvs = ET.SubElement(el, "CollectiveVariables")
+    for i in range(force.getNumCollectiveVariables()):
+        cel = ET.SubElement(cvs, "Variable",
+                            name=force.getCollectiveVariableName(i))
+        inner = ET.SubElement(cel, "Force")
+        _ser_force_into(inner, force.getCollectiveVariable(i))
+
+
+def _de_custom_cv(el):
+    force = F.CustomCVForce(el.get("energy"))
+    _de_globals(el, force)
+    _de_functions(el, force)
+    cvs = el.find("CollectiveVariables")
+    if cvs is not None:
+        for cel in cvs:
+            inner = _de_force(cel.find("Force"))
+            force.addCollectiveVariable(cel.get("name"), inner)
+    return force
+
+
+# --- anisotropic / membrane barostats ----------------------------------------
+def _ser_aniso_barostat(el, force):
+    p = force.getDefaultPressure()._value
+    el.set("pressureX", _fmt(p[0]))
+    el.set("pressureY", _fmt(p[1]))
+    el.set("pressureZ", _fmt(p[2]))
+    el.set("temperature", _fmt(force.getDefaultTemperature()._value))
+    el.set("scaleX", str(int(force.getScaleX())))
+    el.set("scaleY", str(int(force.getScaleY())))
+    el.set("scaleZ", str(int(force.getScaleZ())))
+    el.set("frequency", str(force.getFrequency()))
+    el.set("randomSeed", str(force.getRandomNumberSeed()))
+
+
+def _de_aniso_barostat(el):
+    force = F.MonteCarloAnisotropicBarostat(
+        [float(el.get("pressureX")), float(el.get("pressureY")),
+         float(el.get("pressureZ"))],
+        float(el.get("temperature")),
+        bool(int(el.get("scaleX", "1"))), bool(int(el.get("scaleY", "1"))),
+        bool(int(el.get("scaleZ", "1"))), int(el.get("frequency", "25")))
+    force.setRandomNumberSeed(int(el.get("randomSeed", "0")))
+    return force
+
+
+def _ser_membrane_barostat(el, force):
+    el.set("pressure", _fmt(force.getDefaultPressure()._value))
+    el.set("surfaceTension", _fmt(force.getDefaultSurfaceTension()._value))
+    el.set("temperature", _fmt(force.getDefaultTemperature()._value))
+    el.set("xymode", str(force.getXYMode()))
+    el.set("zmode", str(force.getZMode()))
+    el.set("frequency", str(force.getFrequency()))
+    el.set("randomSeed", str(force.getRandomNumberSeed()))
+
+
+def _de_membrane_barostat(el):
+    force = F.MonteCarloMembraneBarostat(
+        float(el.get("pressure")), float(el.get("surfaceTension")),
+        float(el.get("temperature")), int(el.get("xymode", "0")),
+        int(el.get("zmode", "0")), int(el.get("frequency", "25")))
+    force.setRandomNumberSeed(int(el.get("randomSeed", "0")))
+    return force
+
+
+_FORCE_SERIALIZERS.update({
+    "CustomHbondForce": _ser_custom_hbond,
+    "CustomManyParticleForce": _ser_custom_manyparticle,
+    "CustomCVForce": _ser_custom_cv,
+    "MonteCarloAnisotropicBarostat": _ser_aniso_barostat,
+    "MonteCarloMembraneBarostat": _ser_membrane_barostat,
+})
+_FORCE_DESERIALIZERS.update({
+    "CustomHbondForce": _de_custom_hbond,
+    "CustomManyParticleForce": _de_custom_manyparticle,
+    "CustomCVForce": _de_custom_cv,
+    "MonteCarloAnisotropicBarostat": _de_aniso_barostat,
+    "MonteCarloMembraneBarostat": _de_membrane_barostat,
 })

@@ -107,7 +107,14 @@ class Unit(object):
     def conversion_factor_to(self, other):
         if not self.is_compatible(other):
             raise TypeError("Unit %s is not compatible with %s." % (self, other))
-        return self.factor / other.factor
+        if self.factor == other.factor:
+            return 1.0
+        f = self.factor / other.factor
+        # float artifacts of composing SI factors in different orders; no
+        # physical unit conversion is within 1e-12 of unity
+        if abs(f - 1.0) < 1e-12:
+            return 1.0
+        return f
 
     def in_unit_system(self, system):
         return system.express_unit(self)

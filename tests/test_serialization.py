@@ -131,3 +131,83 @@ def test_simulation_save_state(tmp_path):
                       mm.Platform.getPlatformByName("Reference"))
     sim2.loadState(path)
     assert sim2.context.getStepCount() == 7
+
+
+def test_extended_forces_roundtrip():
+    hb = mm.CustomHbondForce("k*(distance(d1,a1)-r0)^2")
+    hb.addPerDonorParameter("k")
+    hb.addPerAcceptorParameter("r0")
+    hb.addDonor(0, 1, 2, [10.0])
+    hb.addAcceptor(3, 4, -1, [0.2])
+    hb.addExclusion(0, 0)
+    hb.setNonbondedMethod(mm.CustomHbondForce.CutoffNonPeriodic)
+    hb.setCutoffDistance(0.7)
+
+    mp = mm.CustomManyParticleForce(3, "C*(1+3*cos(angle(p1,p2,p3)))")
+    mp.addGlobalParameter("C", 2.5)
+    for _ in range(4):
+        mp.addParticle([], 0)
+    mp.addExclusion(0, 1)
+
+    cv = mm.CustomCVForce("v1^2 + 2*v2")
+    inner1 = mm.CustomBondForce("r")
+    inner1.addBond(0, 1, [])
+    inner2 = mm.RMSDForce([mm.Vec3(0, 0, 0), mm.Vec3(0.1, 0, 0)], [0, 1])
+    cv.addCollectiveVariable("v1", inner1)
+    cv.addCollectiveVariable("v2", inner2)
+
+    aniso = mm.MonteCarloAnisotropicBarostat([1.0, 1.5, 2.0], 300.0,
+                                             True, False, True, 17)
+    aniso.setRandomNumberSeed(42)
+    mem = mm.MonteCarloMembraneBarostat(
+        1.0, 5.0, 310.0, mm.MonteCarloMembraneBarostat.XYIsotropic,
+        mm.MonteCarloMembraneBarostat.ZFree, 31)
+
+    for force in (hb, mp, cv, aniso, mem):
+        xml = XmlSerializer.serialize(force)
+        force2 = XmlSerializer.deserialize(xml)
+        assert XmlSerializer.serialize(force2) == xml
+
+    hb2 = XmlSerializer.deserialize(XmlSerializer.serialize(hb))
+    assert hb2.getNumDonors() == 1 and hb2.getNumAcceptors() == 1
+    assert hb2.getDonorParameters(0) == (0, 1, 2, [10.0])
+    aniso2 = XmlSerializer.deserialize(XmlSerializer.serialize(aniso))
+    assert aniso2.getScaleY() is False
+    assert aniso2.getRandomNumberSeed() == 42
+    assert aniso2.getFrequency() == 17
+
+
+def test_extended_integrators_roundtrip():
+    nh = mm.NoseHooverIntegrator(320.0, 40.0, 0.002, 4, 3, 5)
+    dl = mm.DrudeLangevinIntegrator(300.0, 5.0, 1.0, 20.0, 0.001)
+    dl.setMaxDrudeDistance(0.02)
+    scf = mm.DrudeSCFIntegrator(0.0005)
+    rp = mm.RPMDIntegrator(8, 300.0, 1.0, 0.0005)
+    ci = mm.CustomIntegrator(0.001)
+    ci.addGlobalVariable("a", 3.5)
+    ci.addPerDofVariable("x1", 0.0)
+    ci.addUpdateContextState()
+    ci.addComputePerDof("v", "v+dt*f/m")
+    ci.beginIfBlock("a > 2")
+    ci.addComputeGlobal("a", "a-1")
+    ci.endBlock()
+    ci.addComputePerDof("x", "x+dt*v")
+    ci.addConstrainPositions()
+
+    for integ in (nh, dl, scf, rp, ci):
+        xml = XmlSerializer.serialize(integ)
+        integ2 = XmlSerializer.deserialize(xml)
+        assert XmlSerializer.serialize(integ2) == xml
+
+    ci2 = XmlSerializer.deserialize(XmlSerializer.serialize(ci))
+    assert ci2.getNumComputations() == ci.getNumComputations()
+    assert ci2.getGlobalVariableByName("a") == 3.5
+    nh2 = XmlSerializer.deserialize(XmlSerializer.serialize(nh))
+    assert nh2._chain_length == 4 and nh2._n_ys == 5
+
+    # a deserialized CustomIntegrator must actually run
+    system = mm.System()
+    system.addParticle(1.0)
+    ctx = mm.Context(system, ci2, mm.Platform.getPlatformByName("Reference"))
+    ctx.setPositions([mm.Vec3(0, 0, 0)])
+    ci2.step(2)
