@@ -168,6 +168,8 @@ class ForceField(object):
                     path = candidate
                 else:
                     raise OpenMMException("force field file not found: " + file)
+            if path.endswith(".json"):
+                return self._load_json(path)
             tree = etree.parse(path)
         else:
             tree = etree.parse(file)
@@ -235,6 +237,80 @@ class ForceField(object):
                     self._gbsa_params[k] = (float(a.attrib.get("charge", 0.0)),
                                             float(a.attrib["radius"]),
                                             float(a.attrib["scale"]))
+
+    def _load_json(self, path):
+        """Load openmm-tpu's compact JSON parameter format (produced by
+        tools/convert_ff.py from published force-field parameter sets)."""
+        import json
+        with open(path) as f:
+            data = json.load(f)
+        if data.get("format") != "openmm-tpu-ff-1":
+            raise OpenMMException("unrecognised force field JSON: " + path)
+        for name, cls, mass, element in data["atom_types"]:
+            el = Element.getBySymbol(element) if element else None
+            self._atomTypes[name] = _AtomType(name, cls, float(mass), el)
+
+        def resolve(spec_list):
+            out = []
+            for spec in spec_list:
+                if spec is None:
+                    out.append(None)
+                elif spec[0] == "type":
+                    out.append(frozenset([spec[1]]))
+                else:
+                    out.append(frozenset(self._class_types(spec[1])))
+            return out
+
+        for name, r in data["residues"].items():
+            template = _Template(name)
+            for aname, tname, extra in r["atoms"]:
+                at = self._atomTypes.get(tname)
+                template.atoms.append(_TemplateAtom(
+                    aname, tname, at.element if at else None,
+                    {k: float(v) for k, v in extra.items()}))
+            for i, j in r["bonds"]:
+                template.bonds.append((i, j))
+                template.atoms[i].bondedTo.append(j)
+                template.atoms[j].bondedTo.append(i)
+            for i in r["external"]:
+                template.externalBonds.append(i)
+                template.atoms[i].externalBonds += 1
+            template.virtualSites = list(r.get("virtual_sites", []))
+            self._templates[name] = template
+        for spec, length, k in data["bonds"]:
+            self._bond_gen.append((resolve(spec), length, k))
+        for spec, angle, k in data["angles"]:
+            self._angle_gen.append((resolve(spec), angle, k))
+        for spec, terms in data["propers"]:
+            self._proper_gen.append((resolve(spec),
+                                     [tuple(t) for t in terms]))
+        for spec, terms, ordering in data["impropers"]:
+            self._improper_gen.append((resolve(spec),
+                                       [tuple(t) for t in terms], ordering))
+        for spec, cs in data.get("rb_torsions", []):
+            self._rb_gen.append((resolve(spec), cs))
+        nb = data.get("nonbonded")
+        if nb is not None:
+            if self._nonbonded is None:
+                self._nonbonded = {
+                    "coulomb14scale": nb["coulomb14scale"],
+                    "lj14scale": nb["lj14scale"],
+                    "useChargeFromResidue": nb["useChargeFromResidue"],
+                }
+            elif nb["useChargeFromResidue"]:
+                self._nonbonded["useChargeFromResidue"] = True
+            for kind, key, charge, sigma, eps in nb["atoms"]:
+                keys = [key] if kind == "type" else self._class_types(key)
+                for k in keys:
+                    self._nb_params[k] = (charge, sigma, eps)
+        gb = data.get("gbsa")
+        if gb is not None:
+            if self._gbsa_cfg is None:
+                self._gbsa_cfg = {}
+            for kind, key, charge, radius, scale in gb["atoms"]:
+                keys = [key] if kind == "type" else self._class_types(key)
+                for k in keys:
+                    self._gbsa_params[k] = (charge, radius, scale)
 
     def _class_types(self, cls):
         return [t.name for t in self._atomTypes.values() if t.atomClass == cls]

@@ -12,6 +12,7 @@ import numpy as np
 from .. import unit as u
 from ..vec3 import Vec3
 from .element import Element
+from .pdbnames import canonical_atom_name
 from .topology import Topology
 from . import unitcell
 
@@ -114,6 +115,7 @@ class PDBFile(object):
                             element = None
                     if element is None:
                         element = _guess_element(name, res_name)
+                    name = canonical_atom_name(res_name, name)
                     atom = top.addAtom(name, element, residue, serial or None)
                     atom_by_serial[serial] = atom
                 coords.append(Vec3(x, y, z))
@@ -150,6 +152,8 @@ class PDBFile(object):
         if box is not None:
             top.setPeriodicBoxVectors(box)
         top.createStandardBonds()
+        top.attachUnbondedHydrogens(self._positions[0]
+                                    if self._positions else [])
         top.createDisulfideBonds(self._positions[0] if self._positions else [])
         for fields in conect:
             if fields[0] in atom_by_serial:

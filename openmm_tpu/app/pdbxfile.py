@@ -12,6 +12,7 @@ from .. import unit as u
 from ..vec3 import Vec3
 from .element import Element
 from .pdbfile import _guess_element
+from .pdbnames import canonical_atom_name
 from .topology import Topology
 from . import unitcell
 
@@ -151,6 +152,7 @@ class PDBxFile(object):
                     pass
             if element is None:
                 element = _guess_element(name, res_name)
+            name = canonical_atom_name(res_name, name)
             atoms_first_model.append(top.addAtom(name, element,
                                                  residues[rkey]))
         self._positions = [frames[m] for m in sorted(frames)]
@@ -165,6 +167,8 @@ class PDBxFile(object):
                 top.setPeriodicBoxVectors(unitcell.computePeriodicBoxVectors(
                     a, b, c, alpha, beta, gamma))
         top.createStandardBonds()
+        top.attachUnbondedHydrogens(
+            self._positions[0] if self._positions else [])
 
     def getTopology(self):
         return self.topology

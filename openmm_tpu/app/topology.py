@@ -211,6 +211,13 @@ class Topology(object):
     def loadBondDefinitions(file):
         if Topology._standardBonds is None:
             Topology._standardBonds = {}
+        if isinstance(file, str) and file.endswith(".json"):
+            import json
+            with open(file) as f:
+                data = json.load(f)
+            for name, bonds in data.items():
+                Topology._standardBonds[name] = [tuple(b) for b in bonds]
+            return
         tree = etree.parse(file)
         for residue in tree.getroot().findall("Residue"):
             bonds = []
@@ -219,13 +226,15 @@ class Topology(object):
                 bonds.append((bond.attrib["from"], bond.attrib["to"]))
 
     def createStandardBonds(self):
-        """Infer bonds from residue templates (residues.xml data file)."""
+        """Infer bonds from residue templates (residue_bonds.json, generated
+        by tools/gen_residue_bonds.py, plus the residues.xml extras)."""
         if Topology._standardBonds is None:
             Topology._standardBonds = {}
-            data_file = os.path.join(os.path.dirname(__file__), "data",
-                                     "residues.xml")
-            if os.path.exists(data_file):
-                Topology.loadBondDefinitions(data_file)
+            data_dir = os.path.join(os.path.dirname(__file__), "data")
+            for fname in ("residue_bonds.json", "residues.xml"):
+                data_file = os.path.join(data_dir, fname)
+                if os.path.exists(data_file):
+                    Topology.loadBondDefinitions(data_file)
         for chain in self._chains:
             for i, res in enumerate(chain._residues):
                 name = res.name
@@ -257,6 +266,41 @@ class Topology(object):
                             names.append(bname)
                     if names[0] in maps[0] and names[1] in maps[1]:
                         self.addBond(maps[0][names[0]], maps[1][names[1]])
+
+    def attachUnbondedHydrogens(self, positions):
+        """Bond any hydrogen of a standard residue that createStandardBonds
+        left unbonded to the nearest heavy atom in the same residue. PDB
+        hydrogen naming varies (HB2/HB3 vs 1HB/2HB vs HB1/HB2...), so the
+        bond-definition data intentionally omits hydrogens; geometry is
+        unambiguous (a hydrogen sits ~0.1 nm from its parent)."""
+        if not positions:
+            return
+        pos = u.strip(positions, u.nanometer)
+        bonded = set()
+        for b in self.bonds():
+            bonded.add(b[0].index)
+            bonded.add(b[1].index)
+        std = Topology._standardBonds or {}
+        for res in self.residues():
+            if res.name not in std:
+                continue
+            heavies = [a for a in res.atoms()
+                       if a.element is not None and a.element.symbol != "H"]
+            if not heavies:
+                continue
+            for a in res.atoms():
+                if (a.element is not None and a.element.symbol == "H"
+                        and a.index not in bonded):
+                    p = np.asarray(pos[a.index], dtype=float)
+                    best, best_d2 = None, 0.04   # only within 0.2 nm
+                    for h in heavies:
+                        q = np.asarray(pos[h.index], dtype=float)
+                        d2 = float(np.sum((p - q) ** 2))
+                        if d2 < best_d2:
+                            best, best_d2 = h, d2
+                    if best is not None:
+                        self.addBond(a, best)
+                        bonded.add(a.index)
 
     def createDisulfideBonds(self, positions):
         """Add SG-SG bonds for cysteine pairs within 0.3 nm

@@ -344,7 +344,8 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
         e, dedr2 = pair_ef_fn(r2_safe, pi, pj)
         e = jnp.where(mask, e, 0.0)
         dedr2 = jnp.where(mask, dedr2, 0.0)
-        f_rows = -2.0 * jnp.sum(dedr2[:, :, :, None] * dr, axis=2)
+        f_rows = (-2.0 * jnp.sum(dedr2[:, :, :, None] * dr,
+                                 axis=2)).astype(pos.dtype)
         e_tile = jnp.sum(e.astype(accum_dtype), axis=(1, 2))  # (nb,)
         return (e_acc + jnp.sum(w * e_tile),
                 f_acc + w[:, None, None] * f_rows), None
