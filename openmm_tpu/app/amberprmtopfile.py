@@ -124,7 +124,9 @@ class AmberPrmtopFile(object):
 
     def createSystem(self, nonbondedMethod=NoCutoff, nonbondedCutoff=1.0,
                      constraints=None, rigidWater=True, implicitSolvent=None,
-                     soluteDielectric=1.0, solventDielectric=78.5,
+                     implicitSolventSaltConc=0.0, implicitSolventKappa=None,
+                     temperature=298.15, soluteDielectric=1.0,
+                     solventDielectric=78.5, gbsaModel="ACE",
                      ewaldErrorTolerance=5e-4, removeCMMotion=True,
                      hydrogenMass=None, switchDistance=None, **kwargs):
         sections = self._sections
@@ -298,16 +300,31 @@ class AmberPrmtopFile(object):
                             sig, f14_lj * eps, True)
         system.addForce(nb)
 
-        # ---- implicit solvent -------------------------------------------------------
+        # ---- implicit solvent (amber_file_parser.py:1054-1135 behavior) ----
         if implicitSolvent is not None:
-            gb = mmforces.GBSAOBCForce()
-            gb.setSoluteDielectric(soluteDielectric)
-            gb.setSolventDielectric(solventDielectric)
+            from . import forcefield as ffmod
+            from .gbforces import add_implicit_solvent, compute_kappa
+            model = {ffmod.HCT: "HCT", ffmod.OBC1: "OBC1",
+                     ffmod.OBC2: "OBC2", ffmod.GBn: "GBn",
+                     ffmod.GBn2: "GBn2"}.get(implicitSolvent, "OBC2")
+            if implicitSolventKappa is None:
+                kappa = compute_kappa(implicitSolventSaltConc,
+                                      solventDielectric, temperature)
+            else:
+                kappa = float(u.strip(implicitSolventKappa,
+                                      u.nanometer ** -1))
+            cutoff_gb = None
+            if method != mmforces.NonbondedForce.NoCutoff:
+                cutoff_gb = float(u.strip(nonbondedCutoff, u.nanometer))
             radii = floats("RADII") * A2NM
             screen = floats("SCREEN")
-            for i in range(n):
-                gb.addParticle(self._charges[i], radii[i], screen[i])
-            system.addForce(gb)
+            add_implicit_solvent(
+                system, self.topology, model, list(self._charges),
+                radii=radii, screens=screen,
+                solventDielectric=solventDielectric,
+                soluteDielectric=soluteDielectric,
+                SA=gbsaModel, cutoff=cutoff_gb, kappa=kappa)
+            nb.setReactionFieldDielectric(1.0)
 
         if hydrogenMass is not None:
             h_mass = float(u.strip(hydrogenMass, u.dalton))

@@ -266,7 +266,10 @@ class CharmmPsfFile(object):
 
     def createSystem(self, params, nonbondedMethod=NoCutoff,
                      nonbondedCutoff=1.0, constraints=None, rigidWater=True,
-                     removeCMMotion=True, hydrogenMass=None,
+                     implicitSolvent=None, implicitSolventSaltConc=0.0,
+                     implicitSolventKappa=None, temperature=298.15,
+                     soluteDielectric=1.0, solventDielectric=78.5,
+                     gbsaModel=None, removeCMMotion=True, hydrogenMass=None,
                      ewaldErrorTolerance=5e-4, switchDistance=None, **kwargs):
         system = System()
         n = len(self.atom_list)
@@ -444,6 +447,29 @@ class CharmmPsfFile(object):
                     system.setParticleMass(
                         heavy, system.getParticleMass(heavy)._value - transfer)
                     system.setParticleMass(h, h_mass)
+        if implicitSolvent is not None:
+            from . import forcefield as ffmod
+            from .gbforces import add_implicit_solvent, compute_kappa
+            model = {ffmod.HCT: "HCT", ffmod.OBC1: "OBC1",
+                     ffmod.OBC2: "OBC2", ffmod.GBn: "GBn",
+                     ffmod.GBn2: "GBn2"}.get(implicitSolvent, "OBC2")
+            if implicitSolventKappa is None:
+                kappa = compute_kappa(implicitSolventSaltConc,
+                                      solventDielectric, temperature)
+            else:
+                kappa = float(u.strip(implicitSolventKappa,
+                                      u.nanometer ** -1))
+            cutoff_gb = None
+            if nonbondedMethod != NoCutoff:
+                cutoff_gb = float(u.strip(nonbondedCutoff, u.nanometer))
+            add_implicit_solvent(
+                system, self.topology, model, list(charges),
+                solventDielectric=solventDielectric,
+                soluteDielectric=soluteDielectric,
+                SA=gbsaModel, cutoff=cutoff_gb, kappa=kappa)
+            for f in system.getForces():
+                if isinstance(f, mmforces.NonbondedForce):
+                    f.setReactionFieldDielectric(1.0)
         if removeCMMotion:
             system.addForce(mmforces.CMMotionRemover())
         return system

@@ -78,6 +78,32 @@ class HAngles(_Singleton):
     pass
 
 
+class HCT(_Singleton):
+    pass
+
+
+class OBC1(_Singleton):
+    pass
+
+
+class OBC2(_Singleton):
+    pass
+
+
+class GBn(_Singleton):
+    pass
+
+
+class GBn2(_Singleton):
+    pass
+
+
+HCT = HCT()
+OBC1 = OBC1()
+OBC2 = OBC2()
+GBn = GBn()
+GBn2 = GBn2()
+
 NoCutoff = NoCutoff()
 CutoffNonPeriodic = CutoffNonPeriodic()
 CutoffPeriodic = CutoffPeriodic()
