@@ -206,7 +206,155 @@ class Modeller(object):
         raise NotImplementedError(
             "addExtraParticles lands with multi-site water models")
 
+    # -------------------------------------------------------- addHydrogens
+    _hydrogen_defs = None
+
+    @classmethod
+    def _load_hydrogen_defs(cls):
+        if cls._hydrogen_defs is None:
+            import json
+            import os
+            path = os.path.join(os.path.dirname(__file__), "data",
+                                "hydrogen_defs.json")
+            with open(path) as f:
+                cls._hydrogen_defs = json.load(f)
+        return cls._hydrogen_defs
+
+    @staticmethod
+    def _pick_variant(res, pH, is_nterm, is_cterm, bonded):
+        """Protonation variant by pKa (modeller.py addHydrogens pH rules)."""
+        name = res.name
+        if name == "ASP":
+            return "ASH" if pH < 3.9 else "ASP"
+        if name == "GLU":
+            return "GLH" if pH < 4.4 else "GLU"
+        if name == "LYS":
+            return "LYN" if pH > 10.4 else "LYS"
+        if name == "HIS":
+            if pH < 6.5:
+                return "HIP"
+            return "HIE"
+        if name == "CYS":
+            for a in res.atoms():
+                if a.name == "SG":
+                    for b in bonded.get(a, []):
+                        if b.residue is not res and b.name == "SG":
+                            return "CYX"
+            return "CYS"
+        return name
+
     def addHydrogens(self, forcefield=None, pH=7.0, variants=None,
                      platform=None):
-        raise NotImplementedError(
-            "addHydrogens lands with the protein force fields")
+        """Add missing hydrogens (modeller.py:841 addHydrogens): choose a
+        protonation variant per residue (pKa rules / explicit `variants`),
+        strip existing hydrogens of standard residues, re-add the template
+        set with geometric placement, then relax only the new hydrogens with
+        the force field (heavy atoms frozen by zero inverse mass)."""
+        defs = self._load_hydrogen_defs()
+        bonded = {}
+        for b in self.topology.bonds():
+            bonded.setdefault(b[0], []).append(b[1])
+            bonded.setdefault(b[1], []).append(b[0])
+        residues = list(self.topology.residues())
+        actual_variants = [None] * len(residues)
+
+        new_top = Topology()
+        new_top.setPeriodicBoxVectors(self.topology.getPeriodicBoxVectors())
+        pos = u.strip(self.positions, u.nanometer)
+        pos = [np.asarray([p[0], p[1], p[2]], float) if not isinstance(p, Vec3)
+               else np.array([p.x, p.y, p.z]) for p in pos]
+        new_pos = []
+        atom_map = {}
+        new_h = []    # indices of added hydrogens in the new topology
+        rng = np.random.RandomState(9157)
+
+        for chain in self.topology.chains():
+            nc = new_top.addChain(chain.id)
+            chain_res = list(chain.residues())
+            for ri, res in enumerate(chain_res):
+                is_nterm = res is chain_res[0]
+                is_cterm = res is chain_res[-1]
+                key = None
+                if res.name in defs or any(
+                        p + res.name in defs for p in ("N", "C")):
+                    if variants is not None \
+                            and variants[residues.index(res)] is not None:
+                        key = variants[residues.index(res)]
+                    else:
+                        key = self._pick_variant(res, pH, is_nterm, is_cterm,
+                                                 bonded)
+                    actual_variants[residues.index(res)] = \
+                        key if key != res.name else None
+                    if is_nterm and ("N" + key) in defs:
+                        key = "N" + key
+                    elif is_cterm and ("C" + key) in defs:
+                        key = "C" + key
+                    if key not in defs:
+                        key = None
+                nr = new_top.addResidue(res.name, nc, res.id,
+                                        res.insertionCode)
+                heavy_by_name = {}
+                for atom in res.atoms():
+                    is_h = atom.element is not None \
+                        and atom.element.symbol == "H"
+                    if is_h and key is not None:
+                        continue    # hydrogens are rebuilt from the template
+                    na = new_top.addAtom(atom.name, atom.element, nr)
+                    atom_map[atom] = na
+                    new_pos.append(pos[atom.index].copy())
+                    if not is_h:
+                        heavy_by_name[atom.name] = (na, pos[atom.index])
+                if key is None:
+                    continue
+                for hname, pname in defs[key]:
+                    if pname not in heavy_by_name or \
+                            any(a.name == hname for a in nr.atoms()):
+                        continue
+                    parent, ppos = heavy_by_name[pname]
+                    # direction away from the parent's other neighbors
+                    orig_parent = next(a for a in res.atoms()
+                                       if a.name == pname)
+                    dirs = []
+                    for nbat in bonded.get(orig_parent, []):
+                        if nbat.element is not None \
+                                and nbat.element.symbol == "H":
+                            continue
+                        v = pos[nbat.index] - ppos
+                        n = np.linalg.norm(v)
+                        if n > 1e-6:
+                            dirs.append(v / n)
+                    if dirs:
+                        d = -np.sum(dirs, axis=0)
+                        n = np.linalg.norm(d)
+                        d = d / n if n > 1e-6 else rng.randn(3)
+                    else:
+                        d = rng.randn(3)
+                    d = d / np.linalg.norm(d) + 0.25 * rng.randn(3)
+                    d /= np.linalg.norm(d)
+                    ha = new_top.addAtom(hname, Element.getBySymbol("H"), nr)
+                    new_top.addBond(parent, ha)
+                    new_h.append(len(new_pos))
+                    new_pos.append(ppos + 0.10 * d)
+        for bond in self.topology.bonds():
+            if bond[0] in atom_map and bond[1] in atom_map:
+                new_top.addBond(atom_map[bond[0]], atom_map[bond[1]],
+                                bond.type, bond.order)
+        self.topology = new_top
+        self.positions = u.Quantity([Vec3(*p) for p in new_pos], u.nanometer)
+
+        if forcefield is not None and new_h:
+            self._relax_hydrogens(forcefield, new_h)
+        return actual_variants
+
+    def _relax_hydrogens(self, forcefield, h_indices):
+        """Energy-minimize only the newly placed hydrogens."""
+        import openmm_tpu as mm
+        system = forcefield.createSystem(self.topology)
+        h_set = set(h_indices)
+        for i in range(system.getNumParticles()):
+            if i not in h_set:
+                system.setParticleMass(i, 0.0)
+        ctx = mm.Context(system, mm.VerletIntegrator(0.001))
+        ctx.setPositions(self.positions)
+        mm.LocalEnergyMinimizer.minimize(ctx, 10.0, 60)
+        self.positions = ctx.getState(getPositions=True).getPositions()

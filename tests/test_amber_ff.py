@@ -80,3 +80,39 @@ def test_amber14_all_loads():
     ff = ForceField("amber14-all.json")
     assert "ALA" in ff._templates and "DA" in ff._templates \
         and "G" in ff._templates
+
+
+def test_modeller_add_hydrogens():
+    """Strip and rebuild hydrogens (TestModeller.py addHydrogens pattern)."""
+    from openmm_tpu.app import Modeller
+    pdb = PDBFile(SYS + "alanine-dipeptide-implicit.pdb")
+    mod = Modeller(pdb.topology, pdb.getPositions())
+    mod.delete([a for a in mod.topology.atoms()
+                if a.element and a.element.symbol == "H"])
+    assert mod.topology.getNumAtoms() == 10
+    ff = ForceField("amber99sbildn.json", "tip3p.xml")
+    mod.addHydrogens(ff)
+    assert mod.topology.getNumAtoms() == 22
+    system = ff.createSystem(mod.topology)
+    ctx = mm.Context(system, mm.VerletIntegrator(0.001),
+                     reference_platform())
+    ctx.setPositions(mod.getPositions())
+    e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+    assert np.isfinite(e) and e < 1e5
+
+
+def test_real_protein_builds_with_amber14():
+    """1T2Y miniprotein: PDB -> addHydrogens -> amber14 system, finite
+    energy (terminal templates, disulfide handling, all 7 residue types)."""
+    from openmm_tpu.app import Modeller
+    pdb = PDBFile(SYS + "1T2Y.pdb")
+    ff = ForceField("amber14-protein.json", "amber14-tip3p.json")
+    mod = Modeller(pdb.topology, pdb.getPositions())
+    mod.addHydrogens(ff)
+    assert mod.topology.getNumAtoms() == 271
+    system = ff.createSystem(mod.topology)
+    ctx = mm.Context(system, mm.VerletIntegrator(0.001),
+                     reference_platform())
+    ctx.setPositions(mod.getPositions())
+    e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+    assert np.isfinite(e) and abs(e) < 1e6
