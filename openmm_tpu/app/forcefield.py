@@ -527,17 +527,30 @@ class ForceField(object):
             at = self._atomTypes[tname]
             sys.addParticle(at.mass)
 
-        # virtual sites from templates
+        # virtual sites from templates; each site is excluded alongside its
+        # first parent particle (the reference's excludeWith semantics), so
+        # record a synthetic bond for exception generation
+        vsite_bonds = []
         for (res, template, mapping) in template_info:
             res_atoms = list(res.atoms())
             local_of_template = {t: l for l, t in enumerate(mapping)}
             for vs in template.virtualSites:
-                t_index = int(vs["index"])
+                # attributes may be index-based (index/atom1...) or
+                # name-based (siteName/atomName1...)
+                if "index" in vs:
+                    t_index = int(vs["index"])
+                else:
+                    t_index = template.atom_index(vs["siteName"])
                 site_atom = res_atoms[local_of_template[t_index]].index
 
                 def gat(key):
-                    return res_atoms[local_of_template[int(vs[key])]].index
+                    if key in vs:
+                        return res_atoms[local_of_template[int(vs[key])]].index
+                    name_key = key.replace("atom", "atomName")
+                    return res_atoms[local_of_template[
+                        template.atom_index(vs[name_key])]].index
 
+                vsite_bonds.append((site_atom, gat("atom1")))
                 if vs["type"] == "average2":
                     sys.setVirtualSite(site_atom, TwoParticleAverageSite(
                         gat("atom1"), gat("atom2"),
@@ -554,7 +567,8 @@ class ForceField(object):
                         float(vs["weightCross"])))
                 elif vs["type"] == "localCoords":
                     n_p = 1
-                    while ("atom%d" % (n_p + 1)) in vs:
+                    while ("atom%d" % (n_p + 1)) in vs \
+                            or ("atomName%d" % (n_p + 1)) in vs:
                         n_p += 1
                     particles = [gat("atom%d" % (k + 1)) for k in range(n_p)]
                     ow = [float(vs["wo%d" % (k + 1)]) for k in range(n_p)]
@@ -757,7 +771,7 @@ class ForceField(object):
                     q = tparams.get("charge", 0.0)
                 nb.addParticle(q, sigma, eps)
             nb.createExceptionsFromBonds(
-                bonds, self._nonbonded["coulomb14scale"],
+                bonds + vsite_bonds, self._nonbonded["coulomb14scale"],
                 self._nonbonded["lj14scale"])
             sys.addForce(nb)
 

@@ -203,8 +203,116 @@ class Modeller(object):
                 "only 3-site water supported this round")
 
     def addExtraParticles(self, forcefield):
-        raise NotImplementedError(
-            "addExtraParticles lands with multi-site water models")
+        """Add extra particles (virtual sites / Drude) required by the force
+        field's templates (modeller.py:986 addExtraParticles): residues are
+        matched against each template's real-atom subgraph; missing
+        element-less template atoms are appended with positions computed
+        from their virtual-site definitions."""
+        new_top = Topology()
+        new_top.setPeriodicBoxVectors(self.topology.getPeriodicBoxVectors())
+        pos = u.strip(self.positions, u.nanometer)
+        pos = [np.array([p.x, p.y, p.z]) if isinstance(p, Vec3)
+               else np.asarray(p, float) for p in pos]
+        new_pos = []
+        atom_map = {}
+        for chain in self.topology.chains():
+            nc = new_top.addChain(chain.id)
+            for res in chain.residues():
+                nr = new_top.addResidue(res.name, nc, res.id,
+                                        res.insertionCode)
+                atoms = list(res.atoms())
+                template = self._match_extra_template(forcefield, res)
+                by_name = {}
+                for atom in atoms:
+                    na = new_top.addAtom(atom.name, atom.element, nr)
+                    atom_map[atom] = na
+                    by_name[atom.name] = len(new_pos)
+                    new_pos.append(pos[atom.index].copy())
+                if template is None:
+                    continue
+                have = {a.name for a in atoms}
+                for ta in template.atoms:
+                    if ta.element is not None or ta.name in have:
+                        continue
+                    p = self._extra_site_position(template, ta, by_name,
+                                                  new_pos)
+                    new_top.addAtom(ta.name, None, nr)
+                    new_pos.append(p)
+        for bond in self.topology.bonds():
+            new_top.addBond(atom_map[bond[0]], atom_map[bond[1]],
+                            bond.type, bond.order)
+        self.topology = new_top
+        self.positions = u.Quantity([Vec3(*p) for p in new_pos], u.nanometer)
+
+    @staticmethod
+    def _match_extra_template(forcefield, res):
+        """Find a template whose real (element-bearing) atoms match this
+        residue by element multiset; None if the residue already matches a
+        template exactly or nothing fits."""
+        res_els = sorted(a.element.symbol if a.element else ""
+                         for a in res.atoms())
+        best = None
+        for template in forcefield._templates.values():
+            real = [a for a in template.atoms if a.element is not None]
+            extra = [a for a in template.atoms if a.element is None]
+            if not extra:
+                continue
+            t_els = sorted(a.element.symbol for a in real)
+            if t_els == res_els:
+                best = template
+                break
+        return best
+
+    @staticmethod
+    def _extra_site_position(template, ta, by_name, new_pos):
+        """Position of an extra particle from its VirtualSite definition."""
+        for vs in template.virtualSites:
+            site = vs.get("siteName")
+            if site is None and "index" in vs:
+                site = template.atoms[int(vs["index"])].name
+            if site != ta.name:
+                continue
+            names = []
+            i = 1
+            while ("atomName%d" % i) in vs:
+                names.append(vs["atomName%d" % i])
+                i += 1
+            try:
+                pts = [new_pos[by_name[nm]] for nm in names]
+            except KeyError:
+                break
+            t = vs["type"]
+            if t == "average2":
+                w1, w2 = float(vs["weight1"]), float(vs["weight2"])
+                return w1 * pts[0] + w2 * pts[1]
+            if t == "average3":
+                w = [float(vs["weight%d" % k]) for k in (1, 2, 3)]
+                return w[0] * pts[0] + w[1] * pts[1] + w[2] * pts[2]
+            if t == "outOfPlane":
+                w12, w13 = float(vs["weight12"]), float(vs["weight13"])
+                wc = float(vs["weightCross"])
+                r12 = pts[1] - pts[0]
+                r13 = pts[2] - pts[0]
+                return pts[0] + w12 * r12 + w13 * r13 + wc * np.cross(r12, r13)
+            if t == "localCoords":
+                po = [float(vs["pos%d" % k]) for k in (1, 2, 3)]
+                wo = [float(vs.get("wo%d" % k, 0)) for k in
+                      range(1, len(pts) + 1)]
+                wx = [float(vs.get("wx%d" % k, 0)) for k in
+                      range(1, len(pts) + 1)]
+                wy = [float(vs.get("wy%d" % k, 0)) for k in
+                      range(1, len(pts) + 1)]
+                origin = sum(w * p for w, p in zip(wo, pts))
+                xdir = sum(w * p for w, p in zip(wx, pts))
+                ydir = sum(w * p for w, p in zip(wy, pts))
+                z = np.cross(xdir, ydir)
+                x = xdir / max(np.linalg.norm(xdir), 1e-10)
+                zn = z / max(np.linalg.norm(z), 1e-10)
+                y = np.cross(zn, x)
+                return origin + po[0] * x + po[1] * y + po[2] * zn
+        # fallback: on the first real atom of the template's residue
+        first = next(a for a in template.atoms if a.element is not None)
+        return new_pos[by_name[first.name]].copy()
 
     # -------------------------------------------------------- addHydrogens
     _hydrogen_defs = None

@@ -116,3 +116,39 @@ def test_real_protein_builds_with_amber14():
     ctx.setPositions(mod.getPositions())
     e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
     assert np.isfinite(e) and abs(e) < 1e6
+
+
+def test_multisite_water_extra_particles():
+    """addExtraParticles + tip4pew/tip5p templates with virtual sites:
+    self-water site-hydrogen pairs must be excluded (excludeWith)."""
+    from openmm_tpu.app import Modeller, Topology
+    from openmm_tpu.app.element import Element
+    for model, n_atoms, n_vsites in (("tip4pew", 8, 2), ("tip5p", 10, 4)):
+        top = Topology()
+        c = top.addChain()
+        pos = []
+        for k in range(2):
+            r = top.addResidue("HOH", c)
+            o = top.addAtom("O", Element.getBySymbol("O"), r)
+            h1 = top.addAtom("H1", Element.getBySymbol("H"), r)
+            h2 = top.addAtom("H2", Element.getBySymbol("H"), r)
+            top.addBond(o, h1)
+            top.addBond(o, h2)
+            base = np.array([0.0, 0.0, 0.35 * k])
+            pos += [mm.Vec3(*base), mm.Vec3(*(base + [0.09572, 0, 0])),
+                    mm.Vec3(*(base + [-0.0239, 0.0927, 0]))]
+        ff = ForceField(model + ".json")
+        mod = Modeller(top, u.Quantity(pos, u.nanometer))
+        mod.addExtraParticles(ff)
+        assert mod.topology.getNumAtoms() == n_atoms
+        system = ff.createSystem(mod.topology)
+        assert sum(1 for i in range(n_atoms)
+                   if system.isVirtualSite(i)) == n_vsites
+        ctx = mm.Context(system, mm.VerletIntegrator(0.001),
+                         reference_platform())
+        ctx.setPositions(mod.getPositions())
+        ctx.computeVirtualSites()
+        e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+        # a ~0.35 nm dimer is mildly repulsive; unexcluded self-water pairs
+        # would show up as thousands of kJ/mol
+        assert 0 < e < 100, (model, e)
