@@ -400,7 +400,9 @@ class ForceField(object):
         self._templates[template.name] = template
 
     def getMatchingTemplates(self, topology):
-        return [self._match_residue(res)[0] for res in topology.residues()]
+        graphs = self._residue_graphs(topology)
+        return [self._match_residue(res, graphs[res])[0]
+                for res in topology.residues()]
 
     def registerGenerator(self, generator):
         self._generators.append(generator)
@@ -409,32 +411,71 @@ class ForceField(object):
         self._templates[template.name] = template
 
     # -------------------------------------------------------- template match
-    def _match_residue(self, res):
-        """Graph-isomorphism match of a topology residue against templates
-        (semantics of forcefield.py:961 _matchResidue)."""
-        atoms = list(res.atoms())
-        bonds = []
-        external = defaultdict(int)
-        for b in res.chain.topology.bonds():
-            in1 = b[0].residue is res
-            in2 = b[1].residue is res
-            if in1 and in2:
-                bonds.append((atoms.index(b[0]), atoms.index(b[1])))
-            elif in1:
-                external[atoms.index(b[0])] += 1
-            elif in2:
-                external[atoms.index(b[1])] += 1
-        neigh = defaultdict(list)
-        for i, j in bonds:
-            neigh[i].append(j)
-            neigh[j].append(i)
+    @staticmethod
+    def _residue_graphs(topology):
+        """One pass over the topology's bonds -> {residue: (neigh, external)}
+        with residue-local indices (avoids the per-residue bond rescan that
+        is quadratic at water-box scale)."""
+        local = {}
+        info = {}
+        for res in topology.residues():
+            for i, a in enumerate(res.atoms()):
+                local[a] = i
+            info[res] = (defaultdict(list), defaultdict(int))
+        for b in topology.bonds():
+            r1, r2 = b[0].residue, b[1].residue
+            if r1 is r2:
+                neigh, _ = info[r1]
+                i, j = local[b[0]], local[b[1]]
+                neigh[i].append(j)
+                neigh[j].append(i)
+            else:
+                info[r1][1][local[b[0]]] += 1
+                info[r2][1][local[b[1]]] += 1
+        return info
 
+    @staticmethod
+    def _template_native_spec(template):
+        spec = getattr(template, "_native_spec", None)
+        if spec is None:
+            spec = (
+                tuple(a.element.atomic_number if a.element else -1
+                      for a in template.atoms),
+                tuple(a.externalBonds for a in template.atoms),
+                tuple(tuple(a.bondedTo) for a in template.atoms))
+            template._native_spec = spec
+        return spec
+
+    def _match_residue(self, res, graph=None):
+        """Graph-isomorphism match of a topology residue against templates
+        (semantics of forcefield.py:961 _matchResidue; native backtracking
+        matcher in _native/src/native.c, role of compiled.pyx's
+        matchResidueToTemplate)."""
+        atoms = list(res.atoms())
+        if graph is None:
+            graph = self._residue_graphs(res.chain.topology)[res]
+        neigh, external = graph
+
+        from .._native import native
         candidates = [t for t in self._templates.values()
                       if len(t.atoms) == len(atoms)]
+        res_spec = None
+        if native is not None:
+            res_spec = (
+                tuple(a.element.atomic_number if a.element else -1
+                      for a in atoms),
+                tuple(external.get(i, 0) for i in range(len(atoms))),
+                tuple(tuple(neigh.get(i, ())) for i in range(len(atoms))))
         for template in candidates:
-            mapping = self._try_match(atoms, neigh, external, template)
-            if mapping is not None:
-                return template, mapping
+            if res_spec is not None:
+                mapping = native.match_residue(
+                    res_spec, self._template_native_spec(template))
+                if mapping is not None:
+                    return template, list(mapping)
+            else:
+                mapping = self._try_match(atoms, neigh, external, template)
+                if mapping is not None:
+                    return template, mapping
         raise OpenMMException(
             "No template found for residue %d (%s).  %s" % (
                 res.index + 1, res.name,
@@ -512,8 +553,9 @@ class ForceField(object):
         # match templates, assign types
         atom_type = [None] * n
         template_info = []   # (residue, template, mapping)
+        res_graphs = self._residue_graphs(topology)
         for res in topology.residues():
-            template, mapping = self._match_residue(res)
+            template, mapping = self._match_residue(res, res_graphs[res])
             template_info.append((res, template, mapping))
             res_atoms = list(res.atoms())
             for local_i, a in enumerate(res_atoms):
