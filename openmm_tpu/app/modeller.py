@@ -197,6 +197,68 @@ class Modeller(object):
                     count += 1
         self.add(water_top, u.Quantity(new_waters, u.nanometer))
 
+        # ---- ions: neutralize + ionic strength (modeller.py addSolvent) ----
+        n_waters = count
+        n_ionic = int(round(
+            float(u.strip(ionicStrength, u.mole / u.liter))
+            * n_waters / 55.4))
+        solute_charge = 0.0
+        if neutralize and forcefield is not None:
+            try:
+                system = forcefield.createSystem(self.topology)
+                for f in system.getForces():
+                    if hasattr(f, "getNumParticles") \
+                            and hasattr(f, "getParticleParameters") \
+                            and type(f).__name__ == "NonbondedForce":
+                        solute_charge = sum(
+                            u.strip(f.getParticleParameters(i)[0])
+                            for i in range(f.getNumParticles()))
+            except Exception:
+                solute_charge = 0.0
+        n_pos = n_ionic
+        n_neg = n_ionic
+        q = int(round(solute_charge))
+        if q > 0:
+            n_neg += q
+        elif q < 0:
+            n_pos += -q
+        if n_pos or n_neg:
+            self._replace_waters_with_ions(n_pos, positiveIon,
+                                           n_neg, negativeIon)
+
+    _ION_ELEMENTS = {"Na+": ("NA", "Na"), "K+": ("K", "K"),
+                     "Li+": ("LI", "Li"), "Rb+": ("RB", "Rb"),
+                     "Cs+": ("CS", "Cs"), "Cl-": ("CL", "Cl"),
+                     "Br-": ("BR", "Br"), "F-": ("F", "F"),
+                     "I-": ("IOD", "I")}
+
+    def _replace_waters_with_ions(self, n_pos, positiveIon, n_neg,
+                                  negativeIon):
+        """Swap randomly chosen waters for monatomic ions (the reference
+        places ions at water oxygen sites)."""
+        waters = [res for res in self.topology.residues()
+                  if res.name in ("HOH", "WAT", "H2O")]
+        rng = np.random.RandomState(81733)
+        picks = rng.choice(len(waters), size=n_pos + n_neg, replace=False)
+        pos = u.strip(self.positions, u.nanometer)
+        pos = [np.array([p.x, p.y, p.z]) if isinstance(p, Vec3)
+               else np.asarray(p, float) for p in pos]
+        ion_top = Topology()
+        chain = ion_top.addChain()
+        ion_pos = []
+        doomed = []
+        for k, wi in enumerate(picks):
+            name, symbol = self._ION_ELEMENTS[
+                positiveIon if k < n_pos else negativeIon]
+            water = waters[wi]
+            o_atom = next(a for a in water.atoms() if a.name == "O")
+            res = ion_top.addResidue(name, chain)
+            ion_top.addAtom(symbol.upper(), Element.getBySymbol(symbol), res)
+            ion_pos.append(Vec3(*pos[o_atom.index]))
+            doomed.append(water)
+        self.delete(doomed)
+        self.add(ion_top, u.Quantity(ion_pos, u.nanometer))
+
     def convertWater(self, model="tip3p"):
         if model != "tip3p":
             raise NotImplementedError(

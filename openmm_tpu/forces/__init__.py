@@ -12,7 +12,7 @@ from .bonded import (HarmonicBondForce, HarmonicAngleForce,
 from .nonbonded import NonbondedForce
 from .cmmotion import CMMotionRemover
 from .thermostats import AndersenThermostat
-from .barostats import (MonteCarloBarostat, MonteCarloAnisotropicBarostat,
+from .barostats import (MonteCarloBarostat, RPMDMonteCarloBarostat, MonteCarloAnisotropicBarostat,
                         MonteCarloMembraneBarostat)
 from .custom import (CustomExternalForce, CustomBondForce, CustomAngleForce,
                      CustomTorsionForce, CustomNonbondedForce,
@@ -35,7 +35,7 @@ __all__ = [
     "Force", "CompiledForce", "CompileConfig",
     "HarmonicBondForce", "HarmonicAngleForce", "PeriodicTorsionForce",
     "RBTorsionForce", "CMAPTorsionForce", "NonbondedForce", "CMMotionRemover",
-    "AndersenThermostat", "MonteCarloBarostat", "MonteCarloAnisotropicBarostat",
+    "AndersenThermostat", "MonteCarloBarostat", "RPMDMonteCarloBarostat", "MonteCarloAnisotropicBarostat",
     "MonteCarloMembraneBarostat",
     "CustomExternalForce", "CustomBondForce", "CustomAngleForce",
     "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",

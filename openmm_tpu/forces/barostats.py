@@ -416,3 +416,121 @@ class MonteCarloMembraneBarostat(_BarostatBase):
                 MonteCarloMembraneBarostat.SurfaceTension(): self._tension,
                 MonteCarloMembraneBarostat.Temperature(): self._temperature,
             })._with_init_aux(init_aux)
+
+
+class RPMDMonteCarloBarostat(_BarostatBase):
+    """Monte Carlo barostat for ring-polymer MD (RPMDMonteCarloBarostatImpl
+    .cpp:51-156): a volume move scales the molecule COMs of the CENTROID and
+    applies the same rigid offset to every copy; acceptance uses the mean
+    potential energy over copies at the integrator's temperature."""
+
+    @staticmethod
+    def Pressure():
+        return "RPMDMonteCarloPressure"
+
+    def __init__(self, defaultPressure, frequency=25):
+        super().__init__()
+        self._pressure = float(u.strip(defaultPressure, u.bar))
+        self._frequency = int(frequency)
+        self._seed = 0
+
+    def getDefaultPressure(self):
+        return u.Quantity(self._pressure, u.bar)
+
+    def setDefaultPressure(self, pressure):
+        self._pressure = float(u.strip(pressure, u.bar))
+
+    def _compile(self, system, cfg):
+        freq = self._frequency
+        dtype = cfg.dtype
+
+        def init_aux(deps):
+            box = system._box_array()
+            vol = float(box[0][0] * box[1][1] * box[2][2])
+            return {"volumeScale": jnp.asarray(0.01 * vol, dtype),
+                    "numAttempted": jnp.zeros((), jnp.int32),
+                    "numAccepted": jnp.zeros((), jnp.int32)}
+
+        def update_state_fn(deps, state, params_list, aux):
+            if "rp_pos" not in state["aux"]:
+                raise OpenMMException(
+                    "RPMDMonteCarloBarostat must be used with an "
+                    "RPMDIntegrator")
+
+            def attempt(operand):
+                state, aux = operand
+                rp_pos = state["aux"]["rp_pos"]      # (k, n, 3)
+                box = state["box"]
+                gp = state["gp"]
+                key, k1, k2 = jax.random.split(state["key"], 3)
+
+                def copy_energy(p):
+                    return deps.energy_fn(p, box, params_list, gp)
+
+                e0 = jnp.sum(jax.vmap(copy_energy)(rp_pos))
+                centroid = jnp.mean(rp_pos, axis=0)
+                vol = box[0, 0] * box[1, 1] * box[2, 2]
+                dv = aux["volumeScale"] * 2.0 * (
+                    jax.random.uniform(k1, dtype=dtype) - 0.5)
+                new_vol = vol + dv
+                ls = (new_vol / vol) ** (1.0 / 3.0)
+                scale_vec = jnp.array([ls, ls, ls], dtype)
+                new_centroid = _scale_molecules(
+                    centroid, deps.molecule_id, deps.n_molecules,
+                    deps.masses, scale_vec)
+                delta = new_centroid - centroid
+                new_rp = rp_pos + delta[None]
+                new_box = box * ls
+
+                def copy_energy_new(p):
+                    return deps.energy_fn(p, new_box, params_list, gp)
+
+                e1 = jnp.sum(jax.vmap(copy_energy_new)(new_rp))
+                k_copies = rp_pos.shape[0]
+                p_md = gp[RPMDMonteCarloBarostat.Pressure()] \
+                    * PRESSURE_UNIT_FACTOR
+                kT = BOLTZ * state["iparams"]["temperature"]
+                w = (e1 - e0) / k_copies + p_md * dv \
+                    - deps.n_molecules * kT * jnp.log(new_vol / vol)
+                accept = (w <= 0) | (jax.random.uniform(k2, dtype=dtype)
+                                     <= jnp.exp(-w / kT))
+                rp_out = jnp.where(accept, new_rp, rp_pos)
+                box_out = jnp.where(accept, new_box, box)
+                n_att = aux["numAttempted"] + 1
+                n_acc = aux["numAccepted"] + accept.astype(jnp.int32)
+                tune = n_att >= 10
+                low = n_acc < 0.25 * n_att
+                high = n_acc > 0.75 * n_att
+                vs = aux["volumeScale"]
+                vs = jnp.where(tune & low, vs / 1.1, vs)
+                vs = jnp.where(tune & high,
+                               jnp.minimum(vs * 1.1, vol * 0.3), vs)
+                reset = tune & (low | high)
+                n_att = jnp.where(reset, 0, n_att)
+                n_acc = jnp.where(reset, 0, n_acc)
+                new_state = dict(state)
+                new_state["aux"] = dict(state["aux"], rp_pos=rp_out)
+                new_state["positions"] = rp_out[0]
+                new_state["box"] = box_out
+                new_state["key"] = key
+                return new_state, {"volumeScale": vs, "numAttempted": n_att,
+                                   "numAccepted": n_acc}
+
+            if freq <= 0:
+                return state, aux
+            trigger = (state["step"] % freq) == (freq - 1) if freq > 1 \
+                else True
+            if freq == 1:
+                return attempt((state, aux))
+            return jax.lax.cond(trigger, attempt, lambda op: op,
+                                (state, aux))
+
+        def energy_fn(pos, box, p, gp):
+            return jnp.zeros((), cfg.accum_dtype)
+
+        return CompiledForce(
+            name=self.getName(), force_group=self.getForceGroup(),
+            params={}, energy_fn=energy_fn, update_state_fn=update_state_fn,
+            global_defaults={
+                RPMDMonteCarloBarostat.Pressure(): self._pressure},
+        )._with_init_aux(init_aux)

@@ -214,6 +214,17 @@ class RPMDIntegrator(Integrator):
                                 aux["rp_vel"],
                                 jnp.broadcast_to(state["velocities"],
                                                  aux["rp_vel"].shape))
+            # barostat / updateContextState hooks act on the seeded copies
+            if deps.update_hooks:
+                state = dict(state)
+                state["aux"] = dict(aux, rp_pos=pos_all, rp_vel=vel_all,
+                                    rp_init=jnp.ones((), jnp.int32))
+                for hook, pidx in deps.update_hooks:
+                    state = hook(state, params_list)
+                aux = state["aux"]
+                pos_all = aux["rp_pos"]
+                vel_all = aux["rp_vel"]
+
             ip = state["iparams"]
             dt = ip["dt"].astype(pos_all.dtype)
             kT = (BOLTZ * ip["temperature"]).astype(pos_all.dtype)

@@ -69,3 +69,23 @@ def test_rpmd_total_energy_finite():
     integ.step(50)
     e = integ.getTotalEnergy()
     assert np.isfinite(e._value)
+
+
+def test_rpmd_barostat_runs():
+    from openmm_tpu.models import tip3p_water_box
+    """RPMDMonteCarloBarostat scales centroid molecule COMs; copies get the
+    same offset (RPMDMonteCarloBarostatImpl.cpp:91-126). Smoke: box changes
+    under high pressure, ring polymer stays finite."""
+    import numpy as np
+    system, positions = tip3p_water_box(n_waters=8)
+    system.addForce(mm.RPMDMonteCarloBarostat(1000.0, 2))
+    integ = mm.RPMDIntegrator(4, 300.0, 10.0, 0.0005)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(300.0)
+    box0 = ctx.getState().getPeriodicBoxVectors(asNumpy=True)._value
+    integ.step(30)
+    box1 = ctx.getState().getPeriodicBoxVectors(asNumpy=True)._value
+    pos = ctx.getState(getPositions=True).getPositions(asNumpy=True)._value
+    assert np.all(np.isfinite(pos))
+    assert abs(box1[0, 0] - box0[0, 0]) > 1e-6  # some move was accepted
