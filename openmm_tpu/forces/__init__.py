@@ -25,7 +25,8 @@ from .rmsd import RMSDForce
 from .gayberne import GayBerneForce
 from .custommanyparticle import CustomManyParticleForce
 from .drude import DrudeForce
-from .amoeba import AmoebaVdwForce, AmoebaMultipoleForce
+from .amoeba import (AmoebaVdwForce, AmoebaMultipoleForce,
+                     AmoebaTorsionTorsionForce)
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -42,7 +43,7 @@ __all__ = [
     "CustomCentroidBondForce", "CustomGBForce", "CustomHbondForce",
     "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
     "CustomManyParticleForce", "DrudeForce", "AmoebaVdwForce",
-    "AmoebaMultipoleForce",
+    "AmoebaMultipoleForce", "AmoebaTorsionTorsionForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",

@@ -582,3 +582,167 @@ class AmoebaMultipoleForce(Force):
 
         cf._induced_fn = induced_fn
         return cf
+
+
+class AmoebaTorsionTorsionForce(Force):
+    """Coupled torsion-torsion CMAP-style correction
+    (AmoebaTorsionTorsionForce.h:49-139; reference kernel
+    AmoebaReferenceTorsionTorsionForce.cpp:355-430): two consecutive
+    dihedrals (1-2-3-4, 2-3-4-5) index a bicubic energy grid in degrees;
+    a chirality-check atom may flip both angle signs."""
+
+    def __init__(self):
+        super().__init__()
+        self._torsions = []   # (p1..p5, chiral, gridIndex)
+        self._grids = []      # list of (nx, ny, x0, y0, dx, dy, coeffs)
+        self._periodic = False
+
+    def getNumTorsionTorsions(self):
+        return len(self._torsions)
+
+    def getNumTorsionTorsionGrids(self):
+        return len(self._grids)
+
+    def addTorsionTorsion(self, particle1, particle2, particle3, particle4,
+                          particle5, chiralCheckAtomIndex, gridIndex):
+        self._torsions.append((int(particle1), int(particle2),
+                               int(particle3), int(particle4),
+                               int(particle5), int(chiralCheckAtomIndex),
+                               int(gridIndex)))
+        return len(self._torsions) - 1
+
+    def getTorsionTorsionParameters(self, index):
+        return self._torsions[index]
+
+    def setTorsionTorsionParameters(self, index, particle1, particle2,
+                                    particle3, particle4, particle5,
+                                    chiralCheckAtomIndex, gridIndex):
+        self._torsions[index] = (int(particle1), int(particle2),
+                                 int(particle3), int(particle4),
+                                 int(particle5), int(chiralCheckAtomIndex),
+                                 int(gridIndex))
+
+    def getTorsionTorsionGrid(self, index):
+        return self._grids[index]["raw"]
+
+    def setTorsionTorsionGrid(self, index, grid):
+        """grid[x][y] = [angle1, angle2, f(, fx, fy, fxy)]; angles in
+        degrees on a uniform axis. Derivatives are fit with periodic
+        splines when not supplied (TorsionTorsionForceImpl behavior)."""
+        from ..utils.splines import (bicubic_coefficients_from_derivatives,
+                                     bicubic_coefficients_periodic)
+        while len(self._grids) <= index:
+            self._grids.append(None)
+        g = np.asarray(grid, np.float64)      # (nx, ny, 3 or 6)
+        nx, ny = g.shape[0], g.shape[1]
+        x0, y0 = g[0, 0, 0], g[0, 0, 1]
+        dx = g[1, 0, 0] - g[0, 0, 0]
+        dy = g[0, 1, 1] - g[0, 0, 1]
+        if g.shape[2] >= 6:
+            coeffs = bicubic_coefficients_from_derivatives(
+                g[:, :, 2], g[:, :, 3] * dx, g[:, :, 4] * dy,
+                g[:, :, 5] * dx * dy)
+        else:
+            # values-only grid: endpoints duplicate (-180 == 180); fit
+            # doubly periodic splines on the unique points
+            core = g[:nx - 1, :ny - 1, 2]
+            cp = bicubic_coefficients_periodic(core)
+            coeffs = cp
+            nx_eff, ny_eff = nx - 1, ny - 1
+            self._grids[index] = {
+                "raw": grid, "nx": nx_eff, "ny": ny_eff, "x0": x0, "y0": y0,
+                "dx": dx, "dy": dy, "coeffs": coeffs, "wrap": True}
+            return
+        self._grids[index] = {
+            "raw": grid, "nx": nx, "ny": ny, "x0": x0, "y0": y0,
+            "dx": dx, "dy": dy, "coeffs": coeffs, "wrap": False}
+
+    def setUsesPeriodicBoundaryConditions(self, periodic):
+        self._periodic = bool(periodic)
+
+    def usesPeriodicBoundaryConditions(self):
+        return self._periodic
+
+    def _bonded_particles(self):
+        out = []
+        for (p1, p2, p3, p4, p5, chiral, _g) in self._torsions:
+            out += [(p1, p2), (p2, p3), (p3, p4), (p4, p5)]
+        return out
+
+    def _compile(self, system, cfg):
+        if not self._torsions:
+            def zero_fn(pos, box, p, gp):
+                return jnp.zeros((), cfg.accum_dtype)
+            return CompiledForce(name=self.getName(),
+                                 force_group=self.getForceGroup(),
+                                 params={}, energy_fn=zero_fn)
+        arr = np.asarray(self._torsions, np.int64)
+        idx = jnp.asarray(arr[:, :5].astype(np.int32))
+        chiral = jnp.asarray(arr[:, 5].astype(np.int32))
+        has_chiral = jnp.asarray((arr[:, 5] >= 0).astype(np.int32))
+        grid_of = arr[:, 6]
+        periodic = self._periodic
+
+        # pad all grids to common (max_nx-1, max_ny-1, 4, 4) coefficient
+        # tensor; per-grid geometry arrays
+        max_cx = max(g["coeffs"].shape[0] for g in self._grids)
+        max_cy = max(g["coeffs"].shape[1] for g in self._grids)
+        n_g = len(self._grids)
+        coeffs = np.zeros((n_g, max_cx, max_cy, 4, 4))
+        geom_info = np.zeros((n_g, 6))   # x0 y0 dx dy ncx ncy
+        wraps = np.zeros(n_g)
+        for gi, g in enumerate(self._grids):
+            c = g["coeffs"]
+            coeffs[gi, :c.shape[0], :c.shape[1]] = c
+            geom_info[gi] = [g["x0"], g["y0"], g["dx"], g["dy"],
+                             c.shape[0], c.shape[1]]
+            wraps[gi] = 1.0 if g["wrap"] else 0.0
+        params = {"coeffs": jnp.asarray(coeffs.astype(cfg.dtype))}
+        ginfo = jnp.asarray(geom_info.astype(np.float64))
+        gidx = jnp.asarray(grid_of.astype(np.int32))
+        rad2deg = 180.0 / math.pi
+
+        def energy_fn(pos, box, p, gp):
+            b = box if periodic else None
+            a1 = geom.dihedral_angle(pos[idx[:, 0]], pos[idx[:, 1]],
+                                     pos[idx[:, 2]], pos[idx[:, 3]],
+                                     b) * rad2deg
+            a2 = geom.dihedral_angle(pos[idx[:, 1]], pos[idx[:, 2]],
+                                     pos[idx[:, 3]], pos[idx[:, 4]],
+                                     b) * rad2deg
+            # chirality at the central atom flips both angle signs
+            # (checkTorsionSign: parallelepiped volume at atom C)
+            ca = pos[jnp.maximum(chiral, 0)]
+            rb, rc, rd = pos[idx[:, 1]], pos[idx[:, 2]], pos[idx[:, 3]]
+            v1 = ca - rc
+            v2 = rb - rc
+            v3 = rd - rc
+            volume = jnp.sum(v1 * jnp.cross(v2, v3), axis=-1)
+            flip = jnp.where((has_chiral > 0) & (volume < 0), -1.0, 1.0)
+            a1 = a1 * flip
+            a2 = a2 * flip
+            info = ginfo[gidx]
+            x0, y0 = info[:, 0], info[:, 1]
+            dx, dy = info[:, 2], info[:, 3]
+            ncx, ncy = info[:, 4], info[:, 5]
+            tx = (a1 - x0) / dx
+            ty = (a2 - y0) / dy
+            # wrap periodic (values-only) grids; clamp explicit-derivative
+            # grids at the boundary like the reference
+            tx = jnp.clip(tx, 0.0, ncx - 1e-6)
+            ty = jnp.clip(ty, 0.0, ncy - 1e-6)
+            sx = jnp.minimum(jnp.floor(tx), ncx - 1).astype(jnp.int32)
+            sy = jnp.minimum(jnp.floor(ty), ncy - 1).astype(jnp.int32)
+            da = (tx - sx).astype(pos.dtype)
+            db = (ty - sy).astype(pos.dtype)
+            c = p["coeffs"][gidx, sx, sy]         # (n_t, 4, 4)
+            ta = jnp.stack([jnp.ones_like(da), da, da * da, da ** 3], -1)
+            tb = jnp.stack([jnp.ones_like(db), db, db * db, db ** 3], -1)
+            e = jnp.einsum("ta,tab,tb->t", ta, c, tb)
+            return jnp.sum(e.astype(cfg.accum_dtype))
+
+        return CompiledForce(name=self.getName(),
+                             force_group=self.getForceGroup(),
+                             params=params, energy_fn=energy_fn,
+                             uses_pbc=periodic,
+                             bonded_particles=tuple(self._bonded_particles()))

@@ -171,3 +171,21 @@ def bicubic_coefficients_periodic(grid):
                          axis=-1)  # (size, size, 16) ordered [f, ft, fu, ftu] x corners
     coeffs = vec @ _BICUBIC_INV.T  # c = INV @ vec, batched
     return coeffs.reshape(size, size, 4, 4)
+
+
+def bicubic_coefficients_from_derivatives(f, fx, fy, fxy):
+    """Per-cell bicubic coefficients (nx-1, ny-1, 4, 4) given function values
+    and partial derivatives at the grid nodes, all already expressed in
+    cell-local units (fx multiplied by dx, etc.). Non-periodic: the last
+    row/column only bound the final cells."""
+    f = np.asarray(f, np.float64)
+    nx, ny = f.shape
+
+    def corners(a):
+        return np.stack([a[:-1, :-1], a[1:, :-1], a[1:, 1:], a[:-1, 1:]],
+                        axis=-1)
+
+    vec = np.concatenate([corners(f), corners(fx), corners(fy),
+                          corners(fxy)], axis=-1)   # (nx-1, ny-1, 16)
+    coeffs = vec @ _BICUBIC_INV.T
+    return coeffs.reshape(nx - 1, ny - 1, 4, 4)

@@ -162,3 +162,61 @@ def test_multipole_force_consistency_with_frames():
     ctx = make_context(system, [mm.Vec3(0, 0, 0), mm.Vec3(0.4, 0.1, 0),
                                 mm.Vec3(0, 0.5, 0.3)])
     check_energy_force_consistency(ctx, tol=1e-3)
+
+
+def test_torsion_torsion_grid():
+    """Bicubic grid lookup: E = f(angle1, angle2) with an analytic surface
+    f = 0.01*a1^2 + 0.02*a2^2 (degrees) supplied with exact derivatives."""
+    system = mm.System()
+    f = mm.AmoebaTorsionTorsionForce()
+    for _ in range(5):
+        system.addParticle(10.0)
+    f.addTorsionTorsion(0, 1, 2, 3, 4, -1, 0)
+    xs = np.arange(-180.0, 181.0, 30.0)
+    grid = []
+    for a1 in xs:
+        row = []
+        for a2 in xs:
+            fa = 0.01 * a1 * a1 + 0.02 * a2 * a2
+            row.append([a1, a2, fa, 0.02 * a1, 0.04 * a2, 0.0])
+        grid.append(row)
+    f.setTorsionTorsionGrid(0, grid)
+    system.addForce(f)
+    # positions with known dihedrals: chain along x with controlled twists
+    import math as m
+    positions = [mm.Vec3(0, 1, 0), mm.Vec3(0, 0, 0), mm.Vec3(1, 0, 0),
+                 mm.Vec3(1, 1, 0), mm.Vec3(2, 1, 0)]
+    ctx = make_context(system, positions)
+    e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+    # dihedral(0,1,2,3) = 0 deg (cis); dihedral(1,2,3,4): compute expected
+    from openmm_tpu.ops import geometry as geom
+    import jax.numpy as jnp
+    pts = jnp.asarray([[v.x, v.y, v.z] for v in positions])
+    a1 = float(geom.dihedral_angle(pts[0], pts[1], pts[2], pts[3])) * 180 / m.pi
+    a2 = float(geom.dihedral_angle(pts[1], pts[2], pts[3], pts[4])) * 180 / m.pi
+    expected = 0.01 * a1 * a1 + 0.02 * a2 * a2
+    assert_equal_tol(expected, e, 1e-4)
+    check_energy_force_consistency(ctx, tol=1e-3)
+
+
+def test_torsion_torsion_chirality_flip():
+    """A chiral-check atom with negative parallelepiped volume flips both
+    angle signs (AmoebaReferenceTorsionTorsionForce.cpp:254-281)."""
+    system = mm.System()
+    f = mm.AmoebaTorsionTorsionForce()
+    for _ in range(6):
+        system.addParticle(10.0)
+    f.addTorsionTorsion(0, 1, 2, 3, 4, 5, 0)
+    xs = np.arange(-180.0, 181.0, 30.0)
+    # asymmetric surface so a sign flip changes the energy: f = 0.01*a1
+    grid = [[[a1, a2, 0.01 * a1, 0.01, 0.0, 0.0] for a2 in xs] for a1 in xs]
+    f.setTorsionTorsionGrid(0, grid)
+    system.addForce(f)
+    base = [mm.Vec3(0, 1, 0.3), mm.Vec3(0, 0, 0), mm.Vec3(1, 0, 0),
+            mm.Vec3(1, 1, 0.2), mm.Vec3(2, 1, 0.5)]
+    e_vals = []
+    for zc in (0.7, -0.7):   # chiral atom above/below the BCD plane
+        ctx = make_context(system, base + [mm.Vec3(1.5, 0.2, zc)])
+        e_vals.append(ctx.getState(getEnergy=True).getPotentialEnergy()._value)
+    assert abs(e_vals[0] + e_vals[1]) < 1e-6 * max(1, abs(e_vals[0]))
+    assert abs(e_vals[0]) > 1e-3
