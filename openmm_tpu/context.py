@@ -19,6 +19,7 @@ setVelocitiesToTemperature, applyConstraints.
 from __future__ import annotations
 
 import io
+import os
 import pickle
 
 import numpy as np
@@ -488,9 +489,17 @@ class Context(object):
 
             with jax.default_device(self._device):
                 self._step_fn_cache[cache_key] = jax.jit(run)
+        # cap the steps per device dispatch: a single very long fori_loop
+        # execution can exceed the remote-tunnel RPC deadline and take the
+        # worker down; chunking costs one dispatch (~0.03 ms) per chunk
+        chunk = int(os.environ.get("OMM_TPU_STEP_CHUNK", "500"))
         with jax.default_device(self._device):
-            self._state = self._step_fn_cache[cache_key](
-                self._state, self._params, n_steps)
+            fn = self._step_fn_cache[cache_key]
+            remaining = n_steps
+            while remaining > 0:
+                this = min(remaining, chunk) if chunk > 0 else remaining
+                self._state = fn(self._state, self._params, this)
+                remaining -= this
 
     # --------------------------------------------------------------- getState
     def _energy_forces(self, groups, need_derivs=False):

@@ -26,7 +26,7 @@ from .gayberne import GayBerneForce
 from .custommanyparticle import CustomManyParticleForce
 from .drude import DrudeForce
 from .amoeba import (AmoebaVdwForce, AmoebaMultipoleForce,
-                     AmoebaTorsionTorsionForce)
+                     AmoebaTorsionTorsionForce, AmoebaWcaDispersionForce)
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -43,7 +43,7 @@ __all__ = [
     "CustomCentroidBondForce", "CustomGBForce", "CustomHbondForce",
     "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
     "CustomManyParticleForce", "DrudeForce", "AmoebaVdwForce",
-    "AmoebaMultipoleForce", "AmoebaTorsionTorsionForce",
+    "AmoebaMultipoleForce", "AmoebaTorsionTorsionForce", "AmoebaWcaDispersionForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",

@@ -746,3 +746,231 @@ class AmoebaTorsionTorsionForce(Force):
                              params=params, energy_fn=energy_fn,
                              uses_pbc=periodic,
                              bonded_particles=tuple(self._bonded_particles()))
+
+
+class AmoebaWcaDispersionForce(Force):
+    """WCA dispersion for implicit solvent (AmoebaWcaDispersionForce.h;
+    reference kernel AmoebaReferenceWcaDispersionForce.cpp:40-323): each
+    atom's maximum dispersion energy in bulk water minus the part descreened
+    by every other atom's occluding sphere, integrated analytically over the
+    water O and H site densities. Energy only here — forces via jax.grad."""
+
+    def __init__(self):
+        super().__init__()
+        self._particles = []   # (radius, epsilon)
+        # defaults per AmoebaWcaDispersionForce.cpp:41-48
+        self._epso = 0.1100
+        self._epsh = 0.0135
+        self._rmino = 1.7025
+        self._rminh = 1.3275
+        self._awater = 0.033428
+        self._slevy = 1.0
+        self._shctd = 0.81
+        self._dispoff = 0.26
+
+    def getNumParticles(self):
+        return len(self._particles)
+
+    def addParticle(self, radius, epsilon):
+        self._particles.append((float(u.strip(radius, _NM)),
+                                float(u.strip(epsilon, _E))))
+        return len(self._particles) - 1
+
+    def getParticleParameters(self, index):
+        r, e = self._particles[index]
+        return u.Quantity(r, _NM), u.Quantity(e, _E)
+
+    def setParticleParameters(self, index, radius, epsilon):
+        self._particles[index] = (float(u.strip(radius, _NM)),
+                                  float(u.strip(epsilon, _E)))
+
+    def updateParametersInContext(self, context):
+        context._update_force_params(self)
+
+    # scalar model parameters
+    def getEpso(self):
+        return self._epso
+
+    def setEpso(self, v):
+        self._epso = float(v)
+
+    def getEpsh(self):
+        return self._epsh
+
+    def setEpsh(self, v):
+        self._epsh = float(v)
+
+    def getRmino(self):
+        return self._rmino
+
+    def setRmino(self, v):
+        self._rmino = float(v)
+
+    def getRminh(self):
+        return self._rminh
+
+    def setRminh(self, v):
+        self._rminh = float(v)
+
+    def getAwater(self):
+        return self._awater
+
+    def setAwater(self, v):
+        self._awater = float(v)
+
+    def getSlevy(self):
+        return self._slevy
+
+    def setSlevy(self, v):
+        self._slevy = float(v)
+
+    def getShctd(self):
+        return self._shctd
+
+    def setShctd(self, v):
+        self._shctd = float(v)
+
+    def getDispoff(self):
+        return self._dispoff
+
+    def setDispoff(self, v):
+        self._dispoff = float(v)
+
+    def usesPeriodicBoundaryConditions(self):
+        return False
+
+    def _pack_params(self, cfg):
+        arr = np.asarray(self._particles, np.float64) \
+            if self._particles else np.zeros((0, 2))
+        return {"radius": jnp.asarray(arr[:, 0].astype(cfg.dtype)),
+                "epsilon": jnp.asarray(arr[:, 1].astype(cfg.dtype))}
+
+    def _max_dispersion_energy(self, radius, epsilon):
+        """Per-atom bulk-water dispersion (ksolv.f knp loop;
+        AmoebaWcaDispersionForceImpl.cpp:64-120)."""
+        pi = math.pi
+        rmini = radius
+        rdisp = radius + self._dispoff
+        epso, epsh = self._epso, self._epsh
+        emixo = 4.0 * epso * epsilon / (math.sqrt(epso)
+                                        + math.sqrt(epsilon)) ** 2
+        rmixo = 2.0 * (self._rmino ** 3 + rmini ** 3) \
+            / (self._rmino ** 2 + rmini ** 2)
+        ao = emixo * rmixo ** 7
+        emixh = 4.0 * epsh * epsilon / (math.sqrt(epsh)
+                                        + math.sqrt(epsilon)) ** 2
+        rmixh = 2.0 * (self._rminh ** 3 + rmini ** 3) \
+            / (self._rminh ** 2 + rmini ** 2)
+        ah = emixh * rmixh ** 7
+        if rdisp < rmixh:
+            cdisp = -4.0 * pi * emixh * (rmixh ** 3 - rdisp ** 3) / 3.0 \
+                - emixh * 18.0 / 11.0 * rmixh ** 3 * pi
+        else:
+            cdisp = 2.0 * pi * (2.0 * rmixh ** 7 - 11.0 * rdisp ** 7) * ah \
+                / (11.0 * rdisp ** 11)
+        cdisp *= 2.0
+        if rdisp < rmixo:
+            cdisp -= 4.0 * pi * emixo * (rmixo ** 3 - rdisp ** 3) / 3.0
+            cdisp -= emixo * 18.0 / 11.0 * rmixo ** 3 * pi
+        else:
+            cdisp += 2.0 * pi * (2.0 * rmixo ** 7 - 11.0 * rdisp ** 7) * ao \
+                / (11.0 * rdisp ** 11)
+        return self._slevy * self._awater * cdisp
+
+    def _compile(self, system, cfg):
+        n = len(self._particles)
+        if n == 0:
+            def zero_fn(pos, box, p, gp):
+                return jnp.zeros((), cfg.accum_dtype)
+            return CompiledForce(name=self.getName(),
+                                 force_group=self.getForceGroup(),
+                                 params={}, energy_fn=zero_fn)
+        max_e = sum(self._max_dispersion_energy(r, e) if e > 0 and r > 0
+                    else 0.0 for (r, e) in self._particles)
+        pi = math.pi
+        epso, epsh = self._epso, self._epsh
+        rmino, rminh = self._rmino, self._rminh
+        shctd = self._shctd
+        slevy_awater = self._slevy * self._awater
+        params = self._pack_params(cfg)
+
+        def energy_fn(pos, box, p, gp):
+            rmin = p["radius"]
+            eps = p["epsilon"]
+            # per-solvated-atom water mixing parameters
+            emixo = 4.0 * epso * eps / (math.sqrt(epso)
+                                        + jnp.sqrt(eps)) ** 2
+            rmixo = 2.0 * (rmino ** 3 + rmin ** 3) \
+                / (rmino ** 2 + rmin ** 2)
+            ao = emixo * rmixo ** 7
+            emixh = 4.0 * epsh * eps / (math.sqrt(epsh)
+                                        + jnp.sqrt(eps)) ** 2
+            rmixh = 2.0 * (rminh ** 3 + rmin ** 3) \
+                / (rminh ** 2 + rmin ** 2)
+            ah = emixh * rmixh ** 7
+
+            dr = pos[:n, None, :] - pos[None, :n, :]
+            r2 = jnp.sum(dr * dr, axis=-1)
+            mask = ~jnp.eye(n, dtype=bool)
+            r2 = jnp.where(mask, r2, 1.0)
+            r = jnp.sqrt(r2)
+            sk = (rmin * shctd)[None, :]        # descreening radius of k
+            sk2 = sk * sk
+            ri = rmin[:, None]                  # solvated atom radius
+
+            active = (ri < r + sk) & mask
+            rmax = jnp.maximum(ri, r - sk)
+
+            def shell_low(rmix, emix):
+                """descreened shell inside rmix: the 1/r^0 well region."""
+                lik = rmax
+                uik = jnp.minimum(r + sk, rmix[:, None])
+                take = (lik < rmix[:, None]) & active
+                lik2, lik3, lik4 = lik * lik, lik ** 3, lik ** 4
+                uik2, uik3, uik4 = uik * uik, uik ** 3, uik ** 4
+                term = 4.0 * pi / (48.0 * r) * (
+                    3.0 * (lik4 - uik4) - 8.0 * r * (lik3 - uik3)
+                    + 6.0 * (r2 - sk2) * (lik2 - uik2))
+                return jnp.where(take, -emix[:, None] * term, 0.0)
+
+            e_pairs = shell_low(rmixo, emixo) + 2.0 * shell_low(rmixh, emixh)
+
+            # r^-6 attraction + r^-12 repulsion shells outside rmix
+            # (reference lines 146-235; a_val = emix*rmix^7)
+            def high(rmix, a_val, rmix7, disp_scale, rep_scale):
+                uik = r + sk
+                take = (uik > rmix[:, None]) & active
+                lik = jnp.maximum(rmax, rmix[:, None])
+                lik2, lik3 = lik * lik, lik ** 3
+                lik4 = lik2 * lik2
+                lik5 = lik2 * lik3
+                lik10 = lik5 * lik5
+                lik11 = lik5 * lik5 * lik
+                lik12 = lik5 * lik5 * lik2
+                uik2, uik3 = uik * uik, uik ** 3
+                uik4 = uik2 * uik2
+                uik5 = uik2 * uik3
+                uik10 = uik5 * uik5
+                uik11 = uik5 * uik5 * uik
+                uik12 = uik5 * uik5 * uik2
+                term = 4.0 * pi / (120.0 * r * lik5 * uik5) * (
+                    15.0 * uik * lik * r * (uik4 - lik4)
+                    - 10.0 * uik2 * lik2 * (uik3 - lik3)
+                    + 6.0 * (sk2 - r2) * (uik5 - lik5))
+                idisp = disp_scale * a_val[:, None] * term
+                term2 = 4.0 * pi / (2640.0 * r * lik12 * uik12) * (
+                    120.0 * uik * lik * r * (uik11 - lik11)
+                    - 66.0 * uik2 * lik2 * (uik10 - lik10)
+                    + 55.0 * (sk2 - r2) * (uik12 - lik12))
+                irep = rep_scale * (a_val * rmix7)[:, None] * term2
+                return jnp.where(take, idisp + irep, 0.0)
+
+            e_pairs = e_pairs + high(rmixo, ao, rmixo ** 7, -2.0, 1.0)
+            e_pairs = e_pairs + high(rmixh, ah, rmixh ** 7, -4.0, 2.0)
+            total_sum = jnp.sum(e_pairs.astype(cfg.accum_dtype))
+            return (jnp.asarray(max_e, cfg.accum_dtype)
+                    - slevy_awater * total_sum)
+
+        return CompiledForce(name=self.getName(),
+                             force_group=self.getForceGroup(),
+                             params=params, energy_fn=energy_fn)

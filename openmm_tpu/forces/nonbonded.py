@@ -19,6 +19,7 @@ jax.grad of the single fused energy.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -701,7 +702,8 @@ class NonbondedForce(Force):
             half_diag = 1.3 * math.sqrt(3.0) / 2.0 * block_side
             reach = cutoff + 2.0 * half_diag
             neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
-            self._nl_max_cols = min(nb_blocks, int(neigh * 1.5) + 4)
+            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.5"))
+            self._nl_max_cols = min(nb_blocks, int(neigh * margin) + 4)
             self._nl_sort_cell = block_side
 
         def direct_energy(pos, box, p, gp):

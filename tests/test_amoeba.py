@@ -220,3 +220,31 @@ def test_torsion_torsion_chirality_flip():
         e_vals.append(ctx.getState(getEnergy=True).getPotentialEnergy()._value)
     assert abs(e_vals[0] + e_vals[1]) < 1e-6 * max(1, abs(e_vals[0]))
     assert abs(e_vals[0]) > 1e-3
+
+
+def test_wca_dispersion():
+    """WCA dispersion: one atom gets its full bulk-water maximum dispersion
+    energy; a second nearby atom descreens part of it (raising the energy);
+    infinitely separated atoms recover the sum of maxima."""
+    def energy(positions):
+        system = mm.System()
+        f = mm.AmoebaWcaDispersionForce()
+        for _ in positions:
+            system.addParticle(10.0)
+            f.addParticle(0.2, 0.4)
+        system.addForce(f)
+        ctx = make_context(system, positions)
+        return ctx.getState(getEnergy=True).getPotentialEnergy()._value, ctx
+
+    e1, _ = energy([mm.Vec3(0, 0, 0)])
+    f = mm.AmoebaWcaDispersionForce()
+    expected_single = f._max_dispersion_energy(0.2, 0.4)
+    assert_equal_tol(expected_single, e1, 1e-6)
+    assert e1 < 0   # bulk dispersion is attractive
+
+    e_far, _ = energy([mm.Vec3(0, 0, 0), mm.Vec3(50.0, 0, 0)])
+    assert_equal_tol(2 * expected_single, e_far, 1e-6)
+
+    e_near, ctx = energy([mm.Vec3(0, 0, 0), mm.Vec3(0.35, 0, 0)])
+    assert e_near > e_far   # descreening removes favorable dispersion
+    check_energy_force_consistency(ctx, tol=1e-3)
