@@ -166,6 +166,118 @@ class _Template(object):
                               % (self.name, name))
 
 
+class _Patch(object):
+    """A residue-template modification (<Patch> sections, forcefield.py:475):
+    add/change/remove atoms and bonds across one or more residue slots.
+    Multi-residue patch atom names use the "slot:name" prefix."""
+
+    def __init__(self, name, num_residues):
+        self.name = name
+        self.numResidues = num_residues
+        self.addedAtoms = [[] for _ in range(num_residues)]     # (name, type, params)
+        self.changedAtoms = [[] for _ in range(num_residues)]   # (name, type, params)
+        self.deletedAtoms = []          # (slot, name)
+        self.addedBonds = []            # ((slot, name), (slot, name))
+        self.deletedBonds = []
+        self.addedExternalBonds = []    # (slot, name)
+        self.deletedExternalBonds = []
+        self.virtualSites = [[] for _ in range(num_residues)]   # vs dicts
+
+    @staticmethod
+    def _slot_name(text):
+        if ":" in text:
+            slot, name = text.split(":", 1)
+            return int(slot) - 1, name
+        return 0, text
+
+    def createPatchedTemplates(self, templates):
+        """Apply this patch to one template per residue slot; cross-slot
+        bonds become external bonds on both ends."""
+        if len(templates) != self.numResidues:
+            raise OpenMMException(
+                "patch %s requires %d templates" % (self.name,
+                                                    self.numResidues))
+        out = []
+        for slot, template in enumerate(templates):
+            deleted = {name for (s, name) in self.deletedAtoms if s == slot}
+            changed = {a[0]: a for a in self.changedAtoms[slot]}
+            atoms = []
+            for a in template.atoms:
+                if a.name in deleted:
+                    continue
+                if a.name in changed:
+                    _, tname, params, _el = changed[a.name]
+                    na = _TemplateAtom(a.name, tname, a.element,
+                                       dict(a.params, **params))
+                else:
+                    na = _TemplateAtom(a.name, a.type, a.element,
+                                       dict(a.params))
+                atoms.append(na)
+            for (name, tname, params, el) in self.addedAtoms[slot]:
+                atoms.append(_TemplateAtom(name, tname, el, dict(params)))
+            index = {a.name: i for i, a in enumerate(atoms)}
+
+            # bonds: survivors of the original + added intra-slot bonds
+            del_bonds = set()
+            for ((s1, n1), (s2, n2)) in self.deletedBonds:
+                if s1 == slot and s2 == slot:
+                    del_bonds.add(frozenset((n1, n2)))
+            bonds = []
+            for (i, j) in template.bonds:
+                n1 = template.atoms[i].name
+                n2 = template.atoms[j].name
+                if n1 in deleted or n2 in deleted:
+                    continue
+                if frozenset((n1, n2)) in del_bonds:
+                    continue
+                bonds.append((index[n1], index[n2]))
+            external = []
+            for i in template.externalBonds:
+                name = template.atoms[i].name
+                if name in deleted:
+                    continue
+                if (slot, name) in self.deletedExternalBonds:
+                    continue
+                external.append(index[name])
+            for ((s1, n1), (s2, n2)) in self.addedBonds:
+                if s1 == slot and s2 == slot:
+                    bonds.append((index[n1], index[n2]))
+                elif s1 == slot:
+                    external.append(index[n1])
+                elif s2 == slot:
+                    external.append(index[n2])
+            for (s, name) in self.addedExternalBonds:
+                if s == slot:
+                    external.append(index[name])
+
+            nt = _Template(template.name + "-" + self.name)
+            nt.atoms = atoms
+            for (i, j) in bonds:
+                nt.bonds.append((i, j))
+                atoms[i].bondedTo.append(j)
+                atoms[j].bondedTo.append(i)
+            for i in external:
+                nt.externalBonds.append(i)
+                atoms[i].externalBonds += 1
+            # virtual sites: survivors (reindexed by name) + patch-added
+            for vs in template.virtualSites:
+                names = set()
+                site = vs.get("siteName")
+                if site is not None:
+                    names.add(site)
+                    k = 1
+                    while ("atomName%d" % k) in vs:
+                        names.add(vs["atomName%d" % k])
+                        k += 1
+                    if names & deleted:
+                        continue
+                nt.virtualSites.append(dict(vs))
+            nt.virtualSites.extend(dict(vs)
+                                   for vs in self.virtualSites[slot])
+            out.append(nt)
+        return out
+
+
 class ForceField(object):
     def __init__(self, *files):
         self._atomTypes = {}
@@ -181,6 +293,9 @@ class ForceField(object):
         self._gbsa_cfg = None
         self._scripts = []
         self._generators = []
+        self._patches = {}            # name -> _Patch
+        self._templatePatches = {}    # residue name -> {(patch, slot)}
+        self._patched_cache = {}      # residue name -> [templates]
         for f in files:
             self.loadFile(f)
 
@@ -213,6 +328,9 @@ class ForceField(object):
         for residues in root.findall("Residues"):
             for res in residues.findall("Residue"):
                 self._parse_template(res)
+        for patches in root.findall("Patches"):
+            for pnode in patches.findall("Patch"):
+                self._parse_patch(pnode)
         for section in root.findall("HarmonicBondForce"):
             for b in section.findall("Bond"):
                 self._bond_gen.append((
@@ -367,6 +485,92 @@ class ForceField(object):
                 out.append(None)
         return out
 
+    def _parse_patch(self, node):
+        patch = _Patch(node.attrib["name"],
+                       int(node.attrib.get("residues", "1")))
+        sn = _Patch._slot_name
+        for child in node:
+            if child.tag == "AddAtom":
+                slot, name = sn(child.attrib["name"])
+                tname = child.attrib["type"]
+                at = self._atomTypes.get(tname)
+                params = {k: float(v) for k, v in child.attrib.items()
+                          if k not in ("name", "type")}
+                patch.addedAtoms[slot].append(
+                    (name, tname, params, at.element if at else None))
+            elif child.tag == "ChangeAtom":
+                slot, name = sn(child.attrib["name"])
+                params = {k: float(v) for k, v in child.attrib.items()
+                          if k not in ("name", "type")}
+                patch.changedAtoms[slot].append(
+                    (name, child.attrib["type"], params, None))
+            elif child.tag == "RemoveAtom":
+                patch.deletedAtoms.append(sn(child.attrib["name"]))
+            elif child.tag == "AddBond":
+                patch.addedBonds.append((sn(child.attrib["atomName1"]),
+                                         sn(child.attrib["atomName2"])))
+            elif child.tag == "RemoveBond":
+                patch.deletedBonds.append((sn(child.attrib["atomName1"]),
+                                           sn(child.attrib["atomName2"])))
+            elif child.tag == "AddExternalBond":
+                patch.addedExternalBonds.append(sn(child.attrib["atomName"]))
+            elif child.tag == "RemoveExternalBond":
+                patch.deletedExternalBonds.append(
+                    sn(child.attrib["atomName"]))
+            elif child.tag == "ApplyToResidue":
+                slot, resname = sn(child.attrib["name"])
+                self._templatePatches.setdefault(resname, set()).add(
+                    (patch.name, slot))
+            elif child.tag == "VirtualSite":
+                vs = dict(child.attrib)
+                slot, site = sn(vs.get("siteName", vs.get("index", "0")))
+                if "siteName" in vs:
+                    vs["siteName"] = site
+                patch.virtualSites[slot].append(vs)
+        self._patches[patch.name] = patch
+        self._patched_cache.clear()
+
+    def registerPatch(self, patch):
+        self._patches[patch.name] = patch
+        self._patched_cache.clear()
+
+    def registerTemplatePatch(self, residue, patch, patchResidueIndex=0):
+        self._templatePatches.setdefault(residue, set()).add(
+            (patch, patchResidueIndex))
+        self._patched_cache.clear()
+
+    def _patched_templates_for(self, resname):
+        """Lazily build single-slot patched variants of every template that
+        a patch declares applicable to `resname`."""
+        if resname in self._patched_cache:
+            return self._patched_cache[resname]
+        out = []
+        for (pname, slot) in sorted(self._templatePatches.get(resname, ())):
+            patch = self._patches.get(pname)
+            base = self._templates.get(resname)
+            if patch is None or base is None:
+                continue
+            if patch.numResidues == 1:
+                try:
+                    out.extend(patch.createPatchedTemplates([base]))
+                except Exception:
+                    continue
+            else:
+                # single-slot view of a multi-residue patch: patch only this
+                # slot; cross-slot bonds appear as external bonds
+                templates = [base if s == slot else _Template("_other")
+                             for s in range(patch.numResidues)]
+                for s, t in enumerate(templates):
+                    if s != slot:
+                        t.atoms = []
+                try:
+                    out.append(
+                        patch.createPatchedTemplates(templates)[slot])
+                except Exception:
+                    continue
+        self._patched_cache[resname] = out
+        return out
+
     def _parse_template(self, node):
         template = _Template(node.attrib["name"])
         for child in node:
@@ -397,7 +601,12 @@ class ForceField(object):
                 template.atoms[i].externalBonds += 1
             elif child.tag == "VirtualSite":
                 template.virtualSites.append(dict(child.attrib))
+            elif child.tag == "AllowPatch":
+                slot, pname = _Patch._slot_name(child.attrib["name"])
+                self._templatePatches.setdefault(template.name, set()).add(
+                    (pname, slot))
         self._templates[template.name] = template
+        self._patched_cache.clear()
 
     def getMatchingTemplates(self, topology):
         graphs = self._residue_graphs(topology)
@@ -466,7 +675,9 @@ class ForceField(object):
                       for a in atoms),
                 tuple(external.get(i, 0) for i in range(len(atoms))),
                 tuple(tuple(neigh.get(i, ())) for i in range(len(atoms))))
-        for template in candidates:
+        patched = [t for t in self._patched_templates_for(res.name)
+                   if len(t.atoms) == len(atoms)] if self._patches else []
+        for template in candidates + patched:
             if res_spec is not None:
                 mapping = native.match_residue(
                     res_spec, self._template_native_spec(template))

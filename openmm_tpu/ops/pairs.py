@@ -347,8 +347,9 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
         f_rows = (-2.0 * jnp.sum(dedr2[:, :, :, None] * dr,
                                  axis=2)).astype(pos.dtype)
         e_tile = jnp.sum(e.astype(accum_dtype), axis=(1, 2))  # (nb,)
+        wf = w.astype(f_rows.dtype)
         return (e_acc + jnp.sum(w * e_tile),
-                f_acc + w[:, None, None] * f_rows), None
+                f_acc + wf[:, None, None] * f_rows), None
 
     (energy2, f_blocks), _ = jax.lax.scan(
         col_step,
