@@ -698,11 +698,13 @@ class NonbondedForce(Force):
             vol = float(box0[0][0] * box0[1][1] * box0[2][2])
             nb_blocks = n_pad // nl_block
             block_side = (nl_block * vol / n) ** (1.0 / 3.0)
-            # Morton runs straddle ~2 cells: budget 1.3x the cube half-diagonal
-            half_diag = 1.3 * math.sqrt(3.0) / 2.0 * block_side
-            reach = cutoff + 2.0 * half_diag
+            # snake-ordered blocks have bbox half-extents ~0.6x the cube
+            # side on average; the measured max close-block count at DHFR
+            # scale matches reach = rc + 1.85*block_side (mean 67, max 98 of
+            # 375 blocks), so budget that plus a 1.35x safety margin
+            reach = cutoff + 1.85 * block_side
             neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
-            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.5"))
+            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.35"))
             self._nl_max_cols = min(nb_blocks, int(neigh * margin) + 4)
             self._nl_sort_cell = block_side
 

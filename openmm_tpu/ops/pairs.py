@@ -320,41 +320,61 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
     gid_blocks = orig_id.reshape(nb, block)
     slot = jnp.arange(n_pad, dtype=jnp.int32).reshape(nb, block)
 
+    # per-component coordinate planes (avoids (nb, B, B, 3) tensors whose
+    # 3-wide trailing axis wastes VPU lanes)
+    bx = blocks[:, :, 0]
+    by = blocks[:, :, 1]
+    bz = blocks[:, :, 2]
+
     def col_step(carry, k):
-        e_acc, f_acc = carry
+        e_acc, fx_acc, fy_acc, fz_acc = carry
         bj = cand[:, k]                                     # (nb,)
-        w = cand_valid[:, k].astype(accum_dtype)            # (nb,)
-        pos_j = blocks[bj]                                  # (nb, B, 3)
-        par_j = {k2: v[bj] for k2, v in par_blocks.items()}
+        valid = cand_valid[:, k]                            # (nb,) bool
         gid_j = gid_blocks[bj]
         slot_j = slot[bj]
-        dr = blocks[:, :, None, :] - pos_j[:, None, :, :]   # (nb, B, B, 3)
+        dx = bx[:, :, None] - bx[bj][:, None, :]            # (nb, B, B)
+        dy = by[:, :, None] - by[bj][:, None, :]
+        dz = bz[:, :, None] - bz[bj][:, None, :]
         if periodic:
-            dr = geom.periodic_delta(dr, box)
-        r2 = jnp.sum(dr * dr, axis=-1)
+            # staged triclinic reduction, component-wise
+            # (geometry.periodic_delta semantics: c then b then a rows)
+            sc = jnp.round(dz / box[2, 2])
+            dx = dx - sc * box[2, 0]
+            dy = dy - sc * box[2, 1]
+            dz = dz - sc * box[2, 2]
+            sb = jnp.round(dy / box[1, 1])
+            dx = dx - sb * box[1, 0]
+            dy = dy - sb * box[1, 1]
+            sa = jnp.round(dx / box[0, 0])
+            dx = dx - sa * box[0, 0]
+        r2 = dx * dx + dy * dy + dz * dz
         mask = (slot[:, :, None] != slot_j[:, None, :]) \
-            & (slot[:, :, None] < n_real) & (slot_j[:, None, :] < n_real)
+            & (slot[:, :, None] < n_real) & (slot_j[:, None, :] < n_real) \
+            & valid[:, None, None]
         if excl_blocks is not None:
             is_excl = jnp.any(
                 excl_blocks[:, :, :, None] == gid_j[:, None, None, :], axis=2)
             mask = mask & ~is_excl
         r2_safe = jnp.where(mask, r2, 1.0)
         pi = {k2: v[:, :, None] for k2, v in par_blocks.items()}
-        pj = {k2: v[:, None, :] for k2, v in par_j.items()}
+        pj = {k2: v[bj][:, None, :] for k2, v in par_blocks.items()}
         e, dedr2 = pair_ef_fn(r2_safe, pi, pj)
         e = jnp.where(mask, e, 0.0)
-        dedr2 = jnp.where(mask, dedr2, 0.0)
-        f_rows = (-2.0 * jnp.sum(dedr2[:, :, :, None] * dr,
-                                 axis=2)).astype(pos.dtype)
-        e_tile = jnp.sum(e.astype(accum_dtype), axis=(1, 2))  # (nb,)
-        wf = w.astype(f_rows.dtype)
-        return (e_acc + jnp.sum(w * e_tile),
-                f_acc + wf[:, None, None] * f_rows), None
+        dedr2 = jnp.where(mask, dedr2, 0.0).astype(pos.dtype)
+        fx = -2.0 * jnp.sum(dedr2 * dx, axis=2)
+        fy = -2.0 * jnp.sum(dedr2 * dy, axis=2)
+        fz = -2.0 * jnp.sum(dedr2 * dz, axis=2)
+        e_tile = jnp.sum(e.astype(accum_dtype))
+        return (e_acc + e_tile, fx_acc + fx.astype(pos.dtype),
+                fy_acc + fy.astype(pos.dtype),
+                fz_acc + fz.astype(pos.dtype)), None
 
-    (energy2, f_blocks), _ = jax.lax.scan(
+    zf = jnp.zeros((nb, block), pos.dtype)
+    (energy2, fx_b, fy_b, fz_b), _ = jax.lax.scan(
         col_step,
-        (jnp.zeros((), accum_dtype), jnp.zeros((nb, block, 3), pos.dtype)),
+        (jnp.zeros((), accum_dtype), zf, zf, zf),
         jnp.arange(max_cols, dtype=jnp.int32))
     energy = 0.5 * energy2
-    forces = f_blocks.reshape(n_pad, 3)[inv_order]
+    forces = jnp.stack([fx_b.reshape(n_pad), fy_b.reshape(n_pad),
+                        fz_b.reshape(n_pad)], axis=-1)[inv_order]
     return energy, forces, overflow
