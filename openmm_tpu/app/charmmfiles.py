@@ -41,6 +41,7 @@ class CharmmParameterSet(object):
         self.cmap_types = {}        # 8-tuple -> (size, values)
         self.nb_types = {}          # type -> (eps kcal, rmin2 A, eps14, rmin2_14)
         self.atom_types_by_id = {}  # numeric CHARMM type id -> type name
+        self.nbfix_types = {}       # (t1,t2) sorted -> (emin, rmin, e14, r14)
         for f in files:
             self.readFile(f)
 
@@ -141,6 +142,23 @@ class CharmmParameterSet(object):
                             pass
                     self.nb_types[fields[0].upper()] = (eps, rmin2, eps14,
                                                         rmin2_14)
+                elif section == "NBFIX" and len(fields) >= 4:
+                    # type1 type2 emin rmin [emin14 rmin14]; emin negative
+                    try:
+                        emin = float(fields[2])
+                        rmin = float(fields[3])
+                    except ValueError:
+                        continue
+                    emin14, rmin14 = emin, rmin
+                    if len(fields) >= 6:
+                        try:
+                            emin14 = float(fields[4])
+                            rmin14 = float(fields[5])
+                        except ValueError:
+                            pass
+                    key = tuple(sorted([fields[0].upper(),
+                                        fields[1].upper()]))
+                    self.nbfix_types[key] = (emin, rmin, emin14, rmin14)
         if pending_cmap is not None:
             self._finish_cmap(*pending_cmap)
 
@@ -434,6 +452,67 @@ class CharmmPsfFile(object):
                                               charges[p1] * charges[p2],
                                               sig14, eps14)
         system.addForce(nb)
+
+        # ---- NBFIX: per-type-pair LJ overrides (charmmpsffile.py:1224-1306:
+        # zero the built-in LJ and evaluate LJ via a CustomNonbondedForce
+        # with Discrete2DFunction A/B coefficient tables) -------------------
+        present = sorted(set(types))
+        has_nbfix = any(tuple(sorted((t1, t2))) in params.nbfix_types
+                        for i, t1 in enumerate(present)
+                        for t2 in present[i:])
+        if has_nbfix:
+            type_index = {t: k for k, t in enumerate(present)}
+            m = len(present)
+            acoef = np.zeros((m, m))
+            bcoef = np.zeros((m, m))
+            for t1, k1 in type_index.items():
+                for t2, k2 in type_index.items():
+                    fix = params.nbfix_types.get(tuple(sorted((t1, t2))))
+                    if fix is not None:
+                        emin, rmin = abs(fix[0]) * KCAL, fix[1] * A2NM
+                    else:
+                        e1, r1 = params.nb_types[t1][:2]
+                        e2, r2 = params.nb_types[t2][:2]
+                        emin = math.sqrt(abs(e1) * abs(e2)) * KCAL
+                        rmin = (r1 + r2) * A2NM
+                    acoef[k1, k2] = math.sqrt(emin) * rmin ** 6
+                    bcoef[k1, k2] = 2.0 * emin * rmin ** 6
+            from ..tabulated import Discrete2DFunction
+            cforce = mmforces.CustomNonbondedForce(
+                "(a/r6)^2-b/r6; r6=r^6;"
+                "a=acoef(type1, type2); b=bcoef(type1, type2)")
+            cforce.addTabulatedFunction(
+                "acoef", Discrete2DFunction(m, m, acoef.T.ravel().tolist()))
+            cforce.addTabulatedFunction(
+                "bcoef", Discrete2DFunction(m, m, bcoef.T.ravel().tolist()))
+            cforce.addPerParticleParameter("type")
+            if method in (mmforces.NonbondedForce.PME,
+                          mmforces.NonbondedForce.LJPME,
+                          mmforces.NonbondedForce.Ewald,
+                          mmforces.NonbondedForce.CutoffPeriodic):
+                cforce.setNonbondedMethod(
+                    mmforces.CustomNonbondedForce.CutoffPeriodic)
+                cforce.setCutoffDistance(u.strip(nonbondedCutoff,
+                                                 u.nanometer))
+            elif method == mmforces.NonbondedForce.CutoffNonPeriodic:
+                cforce.setNonbondedMethod(
+                    mmforces.CustomNonbondedForce.CutoffNonPeriodic)
+                cforce.setCutoffDistance(u.strip(nonbondedCutoff,
+                                                 u.nanometer))
+            if switchDistance is not None:
+                cforce.setUseSwitchingFunction(True)
+                cforce.setSwitchingDistance(u.strip(switchDistance,
+                                                    u.nanometer))
+            for i in range(n):
+                cforce.addParticle([type_index[types[i]]])
+            for idx_exc in range(nb.getNumExceptions()):
+                p1, p2 = nb.getExceptionParameters(idx_exc)[:2]
+                cforce.addExclusion(p1, p2)
+            # the built-in force keeps charge (and 1-4 LJ exceptions); its
+            # per-particle LJ is zeroed out
+            for i in range(n):
+                nb.setParticleParameters(i, charges[i], 1.0, 0.0)
+            system.addForce(cforce)
 
         if hydrogenMass is not None:
             h_mass = float(u.strip(hydrogenMass, u.dalton))

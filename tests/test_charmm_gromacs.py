@@ -113,3 +113,63 @@ SOL 2
     r = np.linalg.norm(p[0] - p[3])
     expected += 4 * eps * ((s / r) ** 12 - (s / r) ** 6)
     assert abs(e - expected) < 1e-9
+
+
+def test_charmm_nbfix():
+    """NBFIX overrides the Lorentz-Berthelot combination for one type pair
+    (charmmpsffile.py:1224-1306 semantics)."""
+    import io
+    prm = io.StringIO("""
+ATOMS
+MASS 1 AR 39.948
+MASS 2 KR 83.798
+
+BONDS
+ANGLES
+DIHEDRALS
+NONBONDED
+AR 0.0 -0.2 1.9
+KR 0.0 -0.3 2.1
+
+NBFIX
+AR KR -0.5 4.5
+
+END
+""")
+    # hand-built PSF-less check: use the parameter set directly through a
+    # tiny synthetic psf
+    psf_text = """PSF
+
+       1 !NTITLE
+ REMARKS test
+
+       2 !NATOM
+       1 A    1    AR   AR   AR     0.000000       39.9480           0
+       2 A    1    KR   KR   KR     0.000000       83.7980           0
+
+       0 !NBOND: bonds
+
+
+"""
+    import tempfile, os
+    from openmm_tpu.app import CharmmPsfFile, CharmmParameterSet
+    with tempfile.TemporaryDirectory() as d:
+        prm_path = os.path.join(d, "test.prm")
+        psf_path = os.path.join(d, "test.psf")
+        open(prm_path, "w").write(prm.getvalue())
+        open(psf_path, "w").write(psf_text)
+        params = CharmmParameterSet(prm_path)
+        assert ("AR", "KR") in params.nbfix_types
+        psf = CharmmPsfFile(psf_path)
+        system = psf.createSystem(params)
+        ctx = mm.Context(system, mm.VerletIntegrator(0.001),
+                         reference_platform())
+        r = 0.5
+        ctx.setPositions([mm.Vec3(0, 0, 0), mm.Vec3(r, 0, 0)])
+        e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+        # NBFIX: emin=0.5 kcal, rmin=4.5 A -> LJ at r
+        emin = 0.5 * 4.184
+        rmin = 0.45
+        q = (rmin / r) ** 6
+        expected = emin * (q * q - 2 * q)
+        assert abs(e - expected) < 1e-4 * abs(expected), (e, expected)
