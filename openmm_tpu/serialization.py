@@ -9,6 +9,8 @@ the other — the portability contract noted in SURVEY §2.8.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
+
+import numpy as np
 from xml.dom import minidom
 
 from . import forces as F
@@ -1462,4 +1464,181 @@ _FORCE_DESERIALIZERS.update({
     "CustomCVForce": _de_custom_cv,
     "MonteCarloAnisotropicBarostat": _de_aniso_barostat,
     "MonteCarloMembraneBarostat": _de_membrane_barostat,
+})
+
+
+# --- AMOEBA plugin proxies ----------------------------------------------------
+def _ser_amoeba_vdw(el, force):
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("cutoff", _fmt(u.strip(force.getCutoffDistance())))
+    el.set("sigmaCombiningRule", force.getSigmaCombiningRule())
+    el.set("epsilonCombiningRule", force.getEpsilonCombiningRule())
+    el.set("useDispersionCorrection",
+           str(int(force.getUseDispersionCorrection())))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        parent, sigma, eps, red = force.getParticleParameters(i)
+        pel = ET.SubElement(particles, "Particle", parent=str(parent),
+                            sigma=_fmt(sigma), epsilon=_fmt(eps),
+                            reduction=_fmt(red))
+        pel.set("exclusions", " ".join(
+            str(x) for x in force.getParticleExclusions(i)))
+
+
+def _de_amoeba_vdw(el):
+    force = F.AmoebaVdwForce()
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1")))
+    force.setSigmaCombiningRule(el.get("sigmaCombiningRule", "CUBIC-MEAN"))
+    force.setEpsilonCombiningRule(el.get("epsilonCombiningRule", "HHG"))
+    force.setUseDispersionCorrection(
+        bool(int(el.get("useDispersionCorrection", "0"))))
+    for i, pel in enumerate(el.find("Particles")):
+        force.addParticle(int(pel.get("parent")), float(pel.get("sigma")),
+                          float(pel.get("epsilon")),
+                          float(pel.get("reduction")))
+        if pel.get("exclusions"):
+            force.setParticleExclusions(
+                i, [int(x) for x in pel.get("exclusions").split()])
+    return force
+
+
+def _ser_amoeba_multipole(el, force):
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("cutoff", _fmt(u.strip(force.getCutoffDistance())))
+    el.set("polarizationType", str(force.getPolarizationType()))
+    el.set("mutualInducedMaxIterations",
+           str(force.getMutualInducedMaxIterations()))
+    el.set("mutualInducedTargetEpsilon",
+           _fmt(force.getMutualInducedTargetEpsilon()))
+    el.set("extrapolationCoefficients", " ".join(
+        _fmt(c) for c in force.getExtrapolationCoefficients()))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumMultipoles()):
+        (q, dip, quad, axis, az, ax, ay, thole, damp,
+         pol) = force.getMultipoleParameters(i)
+        pel = ET.SubElement(particles, "Particle", charge=_fmt(q),
+                            dipole=" ".join(_fmt(x) for x in dip),
+                            quadrupole=" ".join(_fmt(x) for x in quad),
+                            axisType=str(axis), atomZ=str(az), atomX=str(ax),
+                            atomY=str(ay), thole=_fmt(thole), damp=_fmt(damp),
+                            polarity=_fmt(pol))
+        for tid, atoms in sorted(force._covalent[i].items()):
+            ET.SubElement(pel, "Covalent", type=str(tid),
+                          atoms=" ".join(str(x) for x in atoms))
+
+
+def _de_amoeba_multipole(el):
+    force = F.AmoebaMultipoleForce()
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1")))
+    force.setPolarizationType(int(el.get("polarizationType", "0")))
+    force.setMutualInducedMaxIterations(
+        int(el.get("mutualInducedMaxIterations", "60")))
+    force.setMutualInducedTargetEpsilon(
+        float(el.get("mutualInducedTargetEpsilon", "1e-5")))
+    if el.get("extrapolationCoefficients"):
+        force.setExtrapolationCoefficients(
+            [float(x) for x in el.get("extrapolationCoefficients").split()])
+    for i, pel in enumerate(el.find("Particles")):
+        force.addMultipole(
+            float(pel.get("charge")),
+            [float(x) for x in pel.get("dipole").split()],
+            [float(x) for x in pel.get("quadrupole").split()],
+            int(pel.get("axisType")), int(pel.get("atomZ")),
+            int(pel.get("atomX")), int(pel.get("atomY")),
+            float(pel.get("thole")), float(pel.get("damp")),
+            float(pel.get("polarity")))
+        for cel in pel:
+            force.setCovalentMap(i, int(cel.get("type")),
+                                 [int(x) for x in cel.get("atoms").split()])
+    return force
+
+
+def _ser_amoeba_torsiontorsion(el, force):
+    el.set("periodic", str(int(force.usesPeriodicBoundaryConditions())))
+    torsions = ET.SubElement(el, "TorsionTorsions")
+    for i in range(force.getNumTorsionTorsions()):
+        (p1, p2, p3, p4, p5, chiral,
+         grid) = force.getTorsionTorsionParameters(i)
+        ET.SubElement(torsions, "TorsionTorsion", p1=str(p1), p2=str(p2),
+                      p3=str(p3), p4=str(p4), p5=str(p5), chiral=str(chiral),
+                      grid=str(grid))
+    grids = ET.SubElement(el, "Grids")
+    for i in range(force.getNumTorsionTorsionGrids()):
+        g = np.asarray(force.getTorsionTorsionGrid(i), np.float64)
+        gel = ET.SubElement(grids, "Grid", nx=str(g.shape[0]),
+                            ny=str(g.shape[1]), nv=str(g.shape[2]))
+        gel.text = " ".join(_fmt(x) for x in g.ravel())
+
+
+def _de_amoeba_torsiontorsion(el):
+    force = F.AmoebaTorsionTorsionForce()
+    force.setUsesPeriodicBoundaryConditions(
+        bool(int(el.get("periodic", "0"))))
+    for t in el.find("TorsionTorsions"):
+        force.addTorsionTorsion(int(t.get("p1")), int(t.get("p2")),
+                                int(t.get("p3")), int(t.get("p4")),
+                                int(t.get("p5")), int(t.get("chiral")),
+                                int(t.get("grid")))
+    for i, gel in enumerate(el.find("Grids")):
+        shape = (int(gel.get("nx")), int(gel.get("ny")), int(gel.get("nv")))
+        vals = np.array([float(x) for x in gel.text.split()]).reshape(shape)
+        force.setTorsionTorsionGrid(i, vals)
+    return force
+
+
+def _ser_amoeba_wca(el, force):
+    for attr, getter in (("epso", "getEpso"), ("epsh", "getEpsh"),
+                         ("rmino", "getRmino"), ("rminh", "getRminh"),
+                         ("awater", "getAwater"), ("slevy", "getSlevy"),
+                         ("shctd", "getShctd"), ("dispoff", "getDispoff")):
+        el.set(attr, _fmt(getattr(force, getter)()))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        radius, eps = force.getParticleParameters(i)
+        ET.SubElement(particles, "Particle", radius=_fmt(u.strip(radius)),
+                      epsilon=_fmt(u.strip(eps)))
+
+
+def _de_amoeba_wca(el):
+    force = F.AmoebaWcaDispersionForce()
+    for attr, setter in (("epso", "setEpso"), ("epsh", "setEpsh"),
+                         ("rmino", "setRmino"), ("rminh", "setRminh"),
+                         ("awater", "setAwater"), ("slevy", "setSlevy"),
+                         ("shctd", "setShctd"), ("dispoff", "setDispoff")):
+        if el.get(attr) is not None:
+            getattr(force, setter)(float(el.get(attr)))
+    for pel in el.find("Particles"):
+        force.addParticle(float(pel.get("radius")),
+                          float(pel.get("epsilon")))
+    return force
+
+
+def _ser_rpmd_barostat(el, force):
+    el.set("pressure", _fmt(u.strip(force.getDefaultPressure(), u.bar)))
+    el.set("frequency", str(force.getFrequency()))
+    el.set("randomSeed", str(force.getRandomNumberSeed()))
+
+
+def _de_rpmd_barostat(el):
+    force = F.RPMDMonteCarloBarostat(float(el.get("pressure")),
+                                     int(el.get("frequency", "25")))
+    force.setRandomNumberSeed(int(el.get("randomSeed", "0")))
+    return force
+
+
+_FORCE_SERIALIZERS.update({
+    "AmoebaVdwForce": _ser_amoeba_vdw,
+    "AmoebaMultipoleForce": _ser_amoeba_multipole,
+    "AmoebaTorsionTorsionForce": _ser_amoeba_torsiontorsion,
+    "AmoebaWcaDispersionForce": _ser_amoeba_wca,
+    "RPMDMonteCarloBarostat": _ser_rpmd_barostat,
+})
+_FORCE_DESERIALIZERS.update({
+    "AmoebaVdwForce": _de_amoeba_vdw,
+    "AmoebaMultipoleForce": _de_amoeba_multipole,
+    "AmoebaTorsionTorsionForce": _de_amoeba_torsiontorsion,
+    "AmoebaWcaDispersionForce": _de_amoeba_wca,
+    "RPMDMonteCarloBarostat": _de_rpmd_barostat,
 })

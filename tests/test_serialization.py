@@ -211,3 +211,42 @@ def test_extended_integrators_roundtrip():
     ctx = mm.Context(system, ci2, mm.Platform.getPlatformByName("Reference"))
     ctx.setPositions([mm.Vec3(0, 0, 0)])
     ci2.step(2)
+
+
+def test_amoeba_forces_roundtrip():
+    vdw = mm.AmoebaVdwForce()
+    vdw.addParticle(0, 0.35, 0.5, 1.0)
+    vdw.addParticle(0, 0.28, 0.1, 0.91)
+    vdw.setParticleExclusions(0, [1])
+    vdw.setCutoffDistance(1.2)
+
+    mp = mm.AmoebaMultipoleForce()
+    mp.addMultipole(0.5, [0, 0, 0.01], [0.0] * 9,
+                    mm.AmoebaMultipoleForce.ZThenX, 1, -1, -1,
+                    0.39, 0.3, 0.001)
+    mp.addMultipole(-0.5, [0, 0, 0], [0.0] * 9,
+                    mm.AmoebaMultipoleForce.NoAxisType, -1, -1, -1,
+                    0.39, 0.3, 0.0008)
+    mp.setCovalentMap(0, mm.AmoebaMultipoleForce.Covalent12, [1])
+    mp.setPolarizationType(mm.AmoebaMultipoleForce.Extrapolated)
+
+    tt = mm.AmoebaTorsionTorsionForce()
+    tt.addTorsionTorsion(0, 1, 2, 3, 4, 5, 0)
+    xs = [-180.0, -60.0, 60.0, 180.0]
+    grid = [[[a1, a2, 0.1 * a1 + 0.2 * a2, 0.1, 0.2, 0.0] for a2 in xs]
+            for a1 in xs]
+    tt.setTorsionTorsionGrid(0, grid)
+
+    wca = mm.AmoebaWcaDispersionForce()
+    wca.addParticle(0.2, 0.4)
+    wca.setDispoff(0.3)
+
+    rb = mm.RPMDMonteCarloBarostat(2.5, 10)
+
+    for force in (vdw, mp, tt, wca, rb):
+        xml = XmlSerializer.serialize(force)
+        force2 = XmlSerializer.deserialize(xml)
+        assert XmlSerializer.serialize(force2) == xml, type(force).__name__
+    mp2 = XmlSerializer.deserialize(XmlSerializer.serialize(mp))
+    assert mp2.getCovalentMap(0, mm.AmoebaMultipoleForce.Covalent12) == [1]
+    assert mp2.getMultipoleParameters(0)[0] == 0.5
