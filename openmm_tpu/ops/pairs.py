@@ -281,6 +281,12 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
     nb = n_pad // block
 
     # ---- spatial sort (role of the Hilbert reorder, ComputeContext.cpp:430)
+    if periodic:
+        # work on wrapped coordinates: atoms drift outside the primary cell
+        # during dynamics, and unwrapped positions blow up the block bounding
+        # boxes of boundary cells (every distance below is min-image anyway)
+        pos = pos - jnp.floor(
+            pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
     if sort_cell is not None:
         keys = spatial_sort_keys(pos, box, n_real, sort_cell)
         order = jnp.argsort(keys)
