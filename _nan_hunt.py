@@ -8,22 +8,35 @@ def log(*a):
     print("[%7.1fs]" % (time.time()-t0), *a, flush=True)
 
 system, positions = tip3p_water_box(n_waters=8000)
-integ = mm.LangevinMiddleIntegrator(300.0, 20.0, 0.0005)
+integ = mm.LangevinMiddleIntegrator(300.0, 1.0, 0.002)
 ctx = mm.Context(system, integ, mm.Platform.getPlatformByName("TPU"))
 ctx.setPositions(positions)
 ctx.applyConstraints()
 ctx.setVelocitiesToTemperature(300.0, randomSeed=1)
-log("setup done; margin", os.environ.get("OMM_TPU_NL_MARGIN"), "max_cols",
-    getattr(system.getForce(0), "_nl_max_cols", None))
-for chunk in range(30):
-    integ.step(100)
-    st = ctx.getState(getEnergy=True, getPositions=True)
-    pe = st.getPotentialEnergy()._value
-    ke = st.getKineticEnergy()._value
-    log("step", (chunk+1)*100, "PE", pe, "KE", ke)
-    if pe != pe:
-        pos = st.getPositions(asNumpy=True)._value
-        log("pos nan count", int(np.isnan(pos).sum()))
-        np.save("/tmp/nan_pos.npy", pos)
-        break
-log("end")
+log("setup done")
+
+def run(phase, dt, fric, steps, chunk):
+    integ.setStepSize(dt); integ.setFriction(fric)
+    done = 0
+    while done < steps:
+        integ.step(chunk)
+        done += chunk
+        st = ctx.getState(getEnergy=True)
+        pe = st.getPotentialEnergy()._value
+        ke = st.getKineticEnergy()._value
+        log(phase, done, "PE %.0f KE %.0f" % (pe, ke))
+        if pe != pe or ke != ke:
+            st = ctx.getState(getPositions=True, getVelocities=True)
+            pos = st.getPositions(asNumpy=True)._value
+            vel = st.getVelocities(asNumpy=True)._value
+            log("NaN: pos nan", int(np.isnan(pos).sum()),
+                "vel nan", int(np.isnan(vel).sum()),
+                "max|v|", float(np.nanmax(np.abs(vel))))
+            np.savez("/tmp/nan_state2.npz", pos=pos, vel=vel)
+            return False
+    return True
+
+ok = run("eq05", 0.0005, 20.0, 4000, 500) and \
+     run("eq10", 0.001, 20.0, 2000, 500) and \
+     run("run20", 0.002, 1.0, 2000, 200)
+log("end ok" if ok else "end NaN")

@@ -765,6 +765,15 @@ class NonbondedForce(Force):
             if not use_neighbor:
                 return None
 
+            # the hand-scheduled Pallas tile kernel covers the common f32
+            # PME/Ewald/RF/plain-cutoff cases on TPU; everything else (f64,
+            # switching, LJPME) takes the XLA row kernel
+            use_pallas = (cfg.platform_name == "TPU"
+                          and dtype == jnp.float32
+                          and not use_switch and not is_ljpme
+                          and nl_block == 64
+                          and os.environ.get("OMM_TPU_PALLAS", "1") == "1")
+
             def ef(pos, box, p, gp):
                 charge, sigma, eps = effective_particle_params(p, gp)
                 per_atom = {
@@ -773,11 +782,27 @@ class NonbondedForce(Force):
                     "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
                 }
                 pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
-                e_d, f_pad, overflow = pairs_mod.pair_energy_force_rows(
-                    pos_pad, box, lj_coulomb_ef, per_atom, exclusions, n,
-                    cutoff=cutoff, max_cols=self._nl_max_cols,
-                    block=nl_block, periodic=periodic, accum_dtype=accum,
-                    sort_cell=self._nl_sort_cell)
+                if use_pallas:
+                    from ..ops import pallas_pairs as pp
+                    mode = (pp.MODE_EWALD if is_ewald_family
+                            else pp.MODE_RF if use_cutoff else pp.MODE_PLAIN)
+                    e_d, f_pad, overflow = pp.direct_ef_pallas(
+                        pos_pad, box, per_atom["charge"], per_atom["sigma"],
+                        per_atom["epsilon"], exclusions, n, cutoff,
+                        max_cols=self._nl_max_cols, mode=mode,
+                        alpha=(alpha if is_ewald_family else 0.0),
+                        krf=(krf if (use_cutoff and not is_ewald_family)
+                             else 0.0),
+                        crf=(crf if (use_cutoff and not is_ewald_family)
+                             else 0.0),
+                        block=nl_block, sort_cell=self._nl_sort_cell)
+                    e_d = e_d.astype(accum)
+                else:
+                    e_d, f_pad, overflow = pairs_mod.pair_energy_force_rows(
+                        pos_pad, box, lj_coulomb_ef, per_atom, exclusions, n,
+                        cutoff=cutoff, max_cols=self._nl_max_cols,
+                        block=nl_block, periodic=periodic, accum_dtype=accum,
+                        sort_cell=self._nl_sort_cell)
                 e_d = e_d + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
 
                 def rest(pos):
