@@ -104,35 +104,35 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
         excl_planes = jnp.zeros((nb, 1, block), f32) - 1.0
         n_excl = 1
 
-    consts = jnp.array([box[0, 0], box[1, 1], box[2, 2], box[2, 0],
-                        box[2, 1], box[1, 0], alpha, cutoff * cutoff,
-                        float(n_real), krf, crf, float(mode)], f32)
+    consts = jnp.array([[box[0, 0], box[1, 1], box[2, 2], box[2, 0],
+                         box[2, 1], box[1, 0], alpha, cutoff * cutoff,
+                         float(n_real), krf, crf, float(mode)]], f32)
 
     kernel = functools.partial(_kernel_body, n_excl=n_excl)
     grid = (nb, max_cols // 2)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
+                pl.BlockSpec((1, 12), lambda r, c, cand: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 8, block),
-                             lambda r, c, consts, cand: (r, 0, 0)),
+                             lambda r, c, cand: (r, 0, 0)),
                 pl.BlockSpec((1, 8, block),
-                             lambda r, c, consts, cand: (cand[r, 2 * c],
-                                                         0, 0)),
+                             lambda r, c, cand: (cand[r, 2 * c], 0, 0)),
                 pl.BlockSpec((1, 8, block),
-                             lambda r, c, consts, cand: (cand[r, 2 * c + 1],
-                                                         0, 0)),
+                             lambda r, c, cand: (cand[r, 2 * c + 1], 0, 0)),
                 pl.BlockSpec((1, n_excl, block),
-                             lambda r, c, consts, cand: (r, 0, 0)),
+                             lambda r, c, cand: (r, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 8, block),
-                                   lambda r, c, consts, cand: (r, 0, 0)),
+                                   lambda r, c, cand: (r, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 8, block), f32),
         interpret=interpret,
-    )(consts, cand, feat, feat, feat, excl_planes)
+    )(cand, consts, feat, feat, feat, excl_planes)
 
     fx = out[:, 0, :].reshape(n_pad)
     fy = out[:, 1, :].reshape(n_pad)
@@ -142,23 +142,23 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     return energy, forces, overflow
 
 
-def _kernel_body(consts_ref, cand_ref, row_ref, colA_ref, colB_ref,
+def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
                  excl_ref, out_ref, *, n_excl):
     import jax.experimental.pallas as pl
 
     ci = pl.program_id(1)
-    box_ax = consts_ref[0]
-    box_by = consts_ref[1]
-    box_cz = consts_ref[2]
-    box_cx = consts_ref[3]
-    box_cy = consts_ref[4]
-    box_bx = consts_ref[5]
-    alpha = consts_ref[6]
-    rc2 = consts_ref[7]
-    n_real = consts_ref[8]
-    krf = consts_ref[9]
-    crf = consts_ref[10]
-    mode = consts_ref[11]
+    box_ax = consts_ref[0, 0]
+    box_by = consts_ref[0, 1]
+    box_cz = consts_ref[0, 2]
+    box_cx = consts_ref[0, 3]
+    box_cy = consts_ref[0, 4]
+    box_bx = consts_ref[0, 5]
+    alpha = consts_ref[0, 6]
+    rc2 = consts_ref[0, 7]
+    n_real = consts_ref[0, 8]
+    krf = consts_ref[0, 9]
+    crf = consts_ref[0, 10]
+    mode = consts_ref[0, 11]
 
     row = row_ref[0]                                     # (8, 64)
     cols = jnp.concatenate([colA_ref[0], colB_ref[0]], axis=1)   # (8, 128)
@@ -224,14 +224,17 @@ def _kernel_body(consts_ref, cand_ref, row_ref, colA_ref, colB_ref,
     e_pair = (e_lj + e_c) * scale
     dedr2 = (de_lj + de_c) * scale
 
-    fx = -2.0 * jnp.sum(dedr2 * dx, axis=1)
-    fy = -2.0 * jnp.sum(dedr2 * dy, axis=1)
-    fz = -2.0 * jnp.sum(dedr2 * dz, axis=1)
-    erow = jnp.sum(e_pair, axis=1)
+    fx = -2.0 * jnp.sum(dedr2 * dx, axis=1).reshape(1, 64)
+    fy = -2.0 * jnp.sum(dedr2 * dy, axis=1).reshape(1, 64)
+    fz = -2.0 * jnp.sum(dedr2 * dz, axis=1).reshape(1, 64)
+    erow = jnp.sum(e_pair, axis=1).reshape(1, 64)
+    upd = jnp.concatenate(
+        [fx, fy, fz, erow, jnp.zeros((4, 64), jnp.float32)], axis=0)
 
     @pl.when(ci == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        out_ref[0] = upd
 
-    acc = out_ref[0]
-    out_ref[0] = acc.at[0].add(fx).at[1].add(fy).at[2].add(fz).at[3].add(erow)
+    @pl.when(ci != 0)
+    def _():
+        out_ref[0] = out_ref[0] + upd
