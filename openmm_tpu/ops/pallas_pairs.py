@@ -116,19 +116,23 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 12), lambda r, c, cand: (0, 0),
+                # literal indices must stay i32 for the Mosaic transforms:
+                # derive zeros from the (i32) grid coordinates
+                pl.BlockSpec((1, 12), lambda r, c, cand: (r * 0, r * 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 8, block),
-                             lambda r, c, cand: (r, 0, 0)),
+                             lambda r, c, cand: (r, r * 0, r * 0)),
                 pl.BlockSpec((1, 8, block),
-                             lambda r, c, cand: (cand[r, 2 * c], 0, 0)),
+                             lambda r, c, cand: (cand[r, 2 * c],
+                                                 r * 0, r * 0)),
                 pl.BlockSpec((1, 8, block),
-                             lambda r, c, cand: (cand[r, 2 * c + 1], 0, 0)),
+                             lambda r, c, cand: (cand[r, 2 * c + 1],
+                                                 r * 0, r * 0)),
                 pl.BlockSpec((1, n_excl, block),
-                             lambda r, c, cand: (r, 0, 0)),
+                             lambda r, c, cand: (r, r * 0, r * 0)),
             ],
             out_specs=pl.BlockSpec((1, 8, block),
-                                   lambda r, c, cand: (r, 0, 0)),
+                                   lambda r, c, cand: (r, r * 0, r * 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 8, block), f32),
         interpret=interpret,
