@@ -704,7 +704,7 @@ class NonbondedForce(Force):
             # 375 blocks), so budget that plus a 1.35x safety margin
             reach = cutoff + 1.85 * block_side
             neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
-            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.35"))
+            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.6"))
             self._nl_max_cols = min(nb_blocks, int(neigh * margin) + 4)
             self._nl_sort_cell = block_side
 

@@ -101,3 +101,35 @@ def box_inverse(box):
         jnp.stack([m10, inv_by, zero]),
         jnp.stack([m20, m21, inv_cz]),
     ])
+
+
+def to_fractional(pos, box_inv):
+    """pos @ box_inv computed elementwise on the VPU.
+
+    On TPU a (N,3)x(3,3) f32 matmul is routed to the MXU, whose default
+    precision truncates inputs to bf16; the resulting fractional-coordinate
+    error (~1e-3) is enough to flip floor() at box boundaries and teleport
+    atoms by a full box length in wrapped coordinates. Elementwise math
+    keeps full f32."""
+    bi = box_inv.astype(pos.dtype)
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    fx = x * bi[0, 0] + y * bi[1, 0] + z * bi[2, 0]
+    fy = x * bi[0, 1] + y * bi[1, 1] + z * bi[2, 1]
+    fz = x * bi[0, 2] + y * bi[1, 2] + z * bi[2, 2]
+    return jnp.stack([fx, fy, fz], axis=-1)
+
+
+def from_fractional(frac, box):
+    """frac @ box, elementwise (see to_fractional)."""
+    b = box.astype(frac.dtype)
+    x, y, z = frac[..., 0], frac[..., 1], frac[..., 2]
+    rx = x * b[0, 0] + y * b[1, 0] + z * b[2, 0]
+    ry = x * b[0, 1] + y * b[1, 1] + z * b[2, 1]
+    rz = x * b[0, 2] + y * b[1, 2] + z * b[2, 2]
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
+def wrap_into_box(pos, box):
+    """Minimum positive image of every position (full f32 on the VPU)."""
+    frac = to_fractional(pos, box_inverse(box))
+    return pos - from_fractional(jnp.floor(frac), box)

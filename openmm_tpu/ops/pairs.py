@@ -243,7 +243,7 @@ def spatial_sort_keys(pos, box, n_real, cell_size):
     Padded atoms sort last."""
     n_pad = pos.shape[0]
     inv = 1.0 / cell_size
-    wrapped = pos - jnp.floor(pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
+    wrapped = geom.wrap_into_box(pos, box)
     c = jnp.floor(wrapped * inv).astype(jnp.int32)
     # cell counts from the box are traced values; clip indices to range
     ncy = jnp.maximum(jnp.floor(box[1, 1] * inv).astype(jnp.int32), 1)
@@ -285,8 +285,7 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
         # work on wrapped coordinates: atoms drift outside the primary cell
         # during dynamics, and unwrapped positions blow up the block bounding
         # boxes of boundary cells (every distance below is min-image anyway)
-        pos = pos - jnp.floor(
-            pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
+        pos = geom.wrap_into_box(pos, box)
     if sort_cell is not None:
         keys = spatial_sort_keys(pos, box, n_real, sort_cell)
         order = jnp.argsort(keys)

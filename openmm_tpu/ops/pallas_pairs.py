@@ -57,7 +57,7 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     nb = n_pad // block
     f32 = jnp.float32
 
-    pos = pos - jnp.floor(pos @ geom.box_inverse(box).astype(pos.dtype)) @ box
+    pos = geom.wrap_into_box(pos, box)
     keys = spatial_sort_keys(pos, box, n_real, sort_cell)
     order = jnp.argsort(keys)
     inv_order = jnp.argsort(order)

@@ -167,7 +167,8 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
     nx, ny, nz = grid
     n = pos.shape[0]
     sizes = jnp.array([nx, ny, nz], dtype)
-    frac = pos @ box_inv.astype(pos.dtype)
+    from . import geometry as _geom
+    frac = _geom.to_fractional(pos, box_inv)
     frac = frac - jnp.floor(frac)
     u = frac * sizes
     base = jnp.floor(u)
@@ -222,7 +223,8 @@ def spread_charges(pos, charges, box_inv, grid, order, dtype):
     nx, ny, nz = grid
     sizes = jnp.array([nx, ny, nz], dtype)
     # fractional coordinates in [0,1)
-    frac = pos @ box_inv.astype(pos.dtype)
+    from . import geometry as _geom
+    frac = _geom.to_fractional(pos, box_inv)
     frac = frac - jnp.floor(frac)
     u = frac * sizes
     base = jnp.floor(u)
