@@ -80,8 +80,14 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     cand_valid = jnp.take_along_axis(close, cand, axis=1)
     overflow = jnp.sum(close.astype(jnp.int32)) \
         - jnp.sum(cand_valid.astype(jnp.int32))
-    # invalid slots -> the dummy far block nb
+    # invalid slots -> the dummy far block nb; the kernel skips the tail of
+    # the (sorted-valid-first) candidate sweep using the per-row count in
+    # the extra trailing column
+    nvalid = jnp.sum(cand_valid.astype(jnp.int32), axis=1,
+                     dtype=jnp.int32)
     cand = jnp.where(cand_valid, cand, nb)
+    cand = jnp.concatenate([cand, nvalid[:, None]],
+                           axis=1).astype(jnp.int32)
 
     gid = order.astype(f32)
     feat = jnp.zeros((nb + 1, 8, block), f32)
@@ -108,7 +114,8 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
                          box[2, 1], box[1, 0], alpha, cutoff * cutoff,
                          float(n_real), krf, crf, float(mode)]], f32)
 
-    kernel = functools.partial(_kernel_body, n_excl=n_excl)
+    kernel = functools.partial(_kernel_body, n_excl=n_excl,
+                               n_cand=max_cols)
     grid = (nb, max_cols // 2)
     out = pl.pallas_call(
         kernel,
@@ -147,10 +154,26 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 
 def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                 excl_ref, out_ref, *, n_excl):
+                 excl_ref, out_ref, *, n_excl, n_cand):
     import jax.experimental.pallas as pl
 
     ci = pl.program_id(1)
+    ri = pl.program_id(0)
+    n_valid = cand_ref[ri, n_cand]
+
+    @pl.when(ci == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(ci + ci < n_valid)
+    def _():
+        _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
+                      excl_ref, out_ref, n_excl)
+
+
+def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
+                  excl_ref, out_ref, n_excl):
+    import jax.experimental.pallas as pl  # noqa: F401
     box_ax = consts_ref[0, 0]
     box_by = consts_ref[0, 1]
     box_cz = consts_ref[0, 2]
@@ -234,11 +257,4 @@ def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
     erow = jnp.sum(e_pair, axis=1).reshape(1, 64)
     upd = jnp.concatenate(
         [fx, fy, fz, erow, jnp.zeros((4, 64), jnp.float32)], axis=0)
-
-    @pl.when(ci == 0)
-    def _():
-        out_ref[0] = upd
-
-    @pl.when(ci != 0)
-    def _():
-        out_ref[0] = out_ref[0] + upd
+    out_ref[0] = out_ref[0] + upd
