@@ -115,7 +115,7 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
                          float(n_real), krf, crf, float(mode)]], f32)
 
     kernel = functools.partial(_kernel_body, n_excl=n_excl,
-                               n_cand=max_cols)
+                               n_cand=max_cols, mode=int(mode))
     grid = (nb, max_cols // 2)
     out = pl.pallas_call(
         kernel,
@@ -154,7 +154,7 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 
 def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                 excl_ref, out_ref, *, n_excl, n_cand):
+                 excl_ref, out_ref, *, n_excl, n_cand, mode):
     import jax.experimental.pallas as pl
 
     ci = pl.program_id(1)
@@ -168,11 +168,11 @@ def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
     @pl.when(ci + ci < n_valid)
     def _():
         _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                      excl_ref, out_ref, n_excl)
+                      excl_ref, out_ref, n_excl, mode)
 
 
 def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                  excl_ref, out_ref, n_excl):
+                  excl_ref, out_ref, n_excl, mode):
     import jax.experimental.pallas as pl  # noqa: F401
     box_ax = consts_ref[0, 0]
     box_by = consts_ref[0, 1]
@@ -185,7 +185,6 @@ def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
     n_real = consts_ref[0, 8]
     krf = consts_ref[0, 9]
     crf = consts_ref[0, 10]
-    mode = consts_ref[0, 11]
 
     row = row_ref[0]                                     # (8, 64)
     cols = jnp.concatenate([colA_ref[0], colB_ref[0]], axis=1)   # (8, 128)
@@ -218,9 +217,9 @@ def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
         mask = mask & (excl_ref[0, e:e + 1, :].reshape(64, 1) != gj)
     r2s = jnp.where(mask, r2, 1.0)
 
-    inv_r2 = 1.0 / r2s
-    r = jnp.sqrt(r2s)
-    inv_r = 1.0 / r
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
+    r = r2s * inv_r
 
     sig = 0.5 * (rvec(4) + cvec(4))
     eps4 = 4.0 * jnp.sqrt(rvec(5) * cvec(5))
@@ -230,22 +229,20 @@ def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
     de_lj = -3.0 * eps4 * s6 * (2.0 * s6 - 1.0) * inv_r2
 
     qq = 138.93545764446428 * rvec(3) * cvec(3)
-    ar = alpha * r
-    exp_a2r2 = jnp.exp(-ar * ar)
-    erfc_ar = _erfc_poly(ar, exp_a2r2)
-    e_ew = qq * inv_r * erfc_ar
-    de_ew = (-qq * (erfc_ar * inv_r2
-                    + _TWO_OVER_SQRT_PI * alpha * exp_a2r2 * inv_r)
-             ) * (0.5 * inv_r)
-    e_rf = qq * (inv_r + krf * r2s - crf)
-    de_rf = qq * (-0.5 * inv_r2 * inv_r + krf)
-    e_pl = qq * inv_r
-    de_pl = -0.5 * qq * inv_r2 * inv_r
-
-    is_ew = mode < 0.5
-    is_rf = (mode >= 0.5) & (mode < 1.5)
-    e_c = jnp.where(is_ew, e_ew, jnp.where(is_rf, e_rf, e_pl))
-    de_c = jnp.where(is_ew, de_ew, jnp.where(is_rf, de_rf, de_pl))
+    if mode == MODE_EWALD:
+        ar = alpha * r
+        exp_a2r2 = jnp.exp(-ar * ar)
+        erfc_ar = _erfc_poly(ar, exp_a2r2)
+        e_c = qq * inv_r * erfc_ar
+        de_c = (-qq * (erfc_ar * inv_r2
+                       + _TWO_OVER_SQRT_PI * alpha * exp_a2r2 * inv_r)
+                ) * (0.5 * inv_r)
+    elif mode == MODE_RF:
+        e_c = qq * (inv_r + krf * r2s - crf)
+        de_c = qq * (-0.5 * inv_r2 * inv_r + krf)
+    else:
+        e_c = qq * inv_r
+        de_c = -0.5 * qq * inv_r2 * inv_r
 
     scale = mask.astype(jnp.float32)
     e_pair = (e_lj + e_c) * scale
