@@ -74,8 +74,9 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + half[None, :, :]), 0.0)
     close = jnp.sum(gap * gap, axis=-1) < cutoff * cutoff
     col_order = jnp.argsort(~close, axis=1, stable=True)
-    if max_cols % 2:
-        max_cols += 1
+    cols_per_tile = 8
+    max_cols = ((max_cols + cols_per_tile - 1)
+                // cols_per_tile) * cols_per_tile
     cand = col_order[:, :max_cols].astype(jnp.int32)
     cand_valid = jnp.take_along_axis(close, cand, axis=1)
     overflow = jnp.sum(close.astype(jnp.int32)) \
@@ -115,26 +116,29 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
                          float(n_real), krf, crf, float(mode)]], f32)
 
     kernel = functools.partial(_kernel_body, n_excl=n_excl,
-                               n_cand=max_cols, mode=int(mode))
-    grid = (nb, max_cols // 2)
+                               n_cand=max_cols, mode=int(mode),
+                               cols_per_tile=cols_per_tile)
+    grid = (nb, max_cols // cols_per_tile)
+
+    def col_spec(k):
+        # literal indices must stay i32 for the Mosaic transforms: derive
+        # zeros from the (i32) grid coordinates
+        return pl.BlockSpec(
+            (1, 8, block),
+            lambda r, c, cand, k=k: (cand[r, cols_per_tile * c + k],
+                                     r * 0, r * 0))
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                # literal indices must stay i32 for the Mosaic transforms:
-                # derive zeros from the (i32) grid coordinates
                 pl.BlockSpec((1, 12), lambda r, c, cand: (r * 0, r * 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 8, block),
                              lambda r, c, cand: (r, r * 0, r * 0)),
-                pl.BlockSpec((1, 8, block),
-                             lambda r, c, cand: (cand[r, 2 * c],
-                                                 r * 0, r * 0)),
-                pl.BlockSpec((1, 8, block),
-                             lambda r, c, cand: (cand[r, 2 * c + 1],
-                                                 r * 0, r * 0)),
+            ] + [col_spec(k) for k in range(cols_per_tile)] + [
                 pl.BlockSpec((1, n_excl, block),
                              lambda r, c, cand: (r, r * 0, r * 0)),
             ],
@@ -143,7 +147,7 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 8, block), f32),
         interpret=interpret,
-    )(cand, consts, feat, feat, feat, excl_planes)
+    )(cand, consts, *([feat] * (cols_per_tile + 1)), excl_planes)
 
     fx = out[:, 0, :].reshape(n_pad)
     fy = out[:, 1, :].reshape(n_pad)
@@ -153,10 +157,12 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     return energy, forces, overflow
 
 
-def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                 excl_ref, out_ref, *, n_excl, n_cand, mode):
+def _kernel_body(cand_ref, consts_ref, row_ref, *rest, n_excl, n_cand,
+                 mode, cols_per_tile):
     import jax.experimental.pallas as pl
 
+    col_refs = rest[:cols_per_tile]
+    excl_ref, out_ref = rest[cols_per_tile:]
     ci = pl.program_id(1)
     ri = pl.program_id(0)
     n_valid = cand_ref[ri, n_cand]
@@ -165,14 +171,18 @@ def _kernel_body(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(ci + ci < n_valid)
+    cstart = ci
+    for _ in range(cols_per_tile.bit_length() - 1):
+        cstart = cstart + cstart
+
+    @pl.when(cstart < n_valid)
     def _():
-        _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                      excl_ref, out_ref, n_excl, mode)
+        _tile_compute(consts_ref, row_ref, col_refs, excl_ref, out_ref,
+                      n_excl, mode)
 
 
-def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
-                  excl_ref, out_ref, n_excl, mode):
+def _tile_compute(consts_ref, row_ref, col_refs, excl_ref, out_ref,
+                  n_excl, mode):
     import jax.experimental.pallas as pl  # noqa: F401
     box_ax = consts_ref[0, 0]
     box_by = consts_ref[0, 1]
@@ -187,7 +197,7 @@ def _tile_compute(cand_ref, consts_ref, row_ref, colA_ref, colB_ref,
     crf = consts_ref[0, 10]
 
     row = row_ref[0]                                     # (8, 64)
-    cols = jnp.concatenate([colA_ref[0], colB_ref[0]], axis=1)   # (8, 128)
+    cols = jnp.concatenate([ref[0] for ref in col_refs], axis=1)
 
     def rvec(k):
         return row[k:k + 1, :].reshape(64, 1)
