@@ -74,7 +74,7 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + half[None, :, :]), 0.0)
     close = jnp.sum(gap * gap, axis=-1) < cutoff * cutoff
     col_order = jnp.argsort(~close, axis=1, stable=True)
-    cols_per_tile = 8
+    cols_per_tile = 16
     max_cols = ((max_cols + cols_per_tile - 1)
                 // cols_per_tile) * cols_per_tile
     cand = col_order[:, :max_cols].astype(jnp.int32)
