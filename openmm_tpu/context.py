@@ -375,9 +375,10 @@ class Context(object):
         if pos.shape != (self._n, 3):
             raise OpenMMException(
                 "setPositions: expected %d positions, got %s" % (self._n, pos.shape))
-        arr = jnp.asarray(pos.astype(self._dtype))
-        if self._vsite_update is not None:
-            arr = self._jit_vsites(arr)
+        with __import__("jax").default_device(self._device):
+            arr = jnp.asarray(pos.astype(self._dtype))
+            if self._vsite_update is not None:
+                arr = self._jit_vsites(arr)
         self._state["positions"] = arr
         self._positions_set = True
 
@@ -403,9 +404,11 @@ class Context(object):
                 return self._deps.apply_velocity_constraints(pos, v)
             with jax.default_device(self._device):
                 self._jit_sample_velocities = jax.jit(_sample)
-        key = jax.random.PRNGKey(int(randomSeed))
-        self._state["velocities"] = self._jit_sample_velocities(
-            key, jnp.asarray(temp, self._dtype), self._state["positions"])
+        with jax.default_device(self._device):
+            key = jax.random.PRNGKey(int(randomSeed))
+            self._state["velocities"] = self._jit_sample_velocities(
+                key, jnp.asarray(temp, self._dtype),
+                self._state["positions"])
 
     def setPeriodicBoxVectors(self, a, b, c):
         jnp = _jnp()
@@ -525,8 +528,12 @@ class Context(object):
             with jax.default_device(self._device):
                 self._ef_fn_cache[key] = jax.jit(fn)
         s = self._state
-        return self._ef_fn_cache[key](s["positions"], s["box"], self._params,
-                                      s["gp"])
+        # the call must also be pinned: arrays created under default_device
+        # are uncommitted, so an unpinned jit call would follow the process
+        # default device (the TPU under axon) even for CPU-profile contexts
+        with jax.default_device(self._device):
+            return self._ef_fn_cache[key](s["positions"], s["box"],
+                                          self._params, s["gp"])
 
     def _make_position_energy_fn(self, groups=-1):
         """(pos ndarray) -> (energy, forces) with current params/box/gp; used
@@ -546,11 +553,13 @@ class Context(object):
         compiled = self._ef_fn_cache[key]
 
         def evaluate(pos):
+            import jax as _jax
             jnp_mod = _jnp()
             s = self._state
-            pos_dev = jnp_mod.asarray(np.asarray(pos).astype(
-                np.dtype(self._dtype)))
-            e, f = compiled(pos_dev, s["box"], self._params, s["gp"])
+            with _jax.default_device(self._device):
+                pos_dev = jnp_mod.asarray(np.asarray(pos).astype(
+                    np.dtype(self._dtype)))
+                e, f = compiled(pos_dev, s["box"], self._params, s["gp"])
             return float(e), np.asarray(f, np.float64)
 
         return evaluate
@@ -652,13 +661,17 @@ class Context(object):
 
     # --------------------------------------------------------- constraints API
     def applyConstraints(self, tol=None):
-        pos = self._state["positions"]
-        new = self._jit_pos_constraints(pos, pos)
-        self._state["positions"] = self._jit_vsites(new)
+        import jax
+        with jax.default_device(self._device):
+            pos = self._state["positions"]
+            new = self._jit_pos_constraints(pos, pos)
+            self._state["positions"] = self._jit_vsites(new)
 
     def applyVelocityConstraints(self, tol=None):
-        self._state["velocities"] = self._jit_vel_constraints(
-            self._state["positions"], self._state["velocities"])
+        import jax
+        with jax.default_device(self._device):
+            self._state["velocities"] = self._jit_vel_constraints(
+                self._state["positions"], self._state["velocities"])
 
     def computeVirtualSites(self):
         self._state["positions"] = self._jit_vsites(

@@ -193,7 +193,8 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
     if n_chunks == 1:
         C = Wy[:, :, None] * Wz[:, None, :]
         return jnp.einsum("ix,iyz->xyz", A, C.astype(dtype),
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGHEST)
     pad = n_chunks * atom_chunk - n
     A_p = jnp.concatenate([A, jnp.zeros((pad, nx), dtype)])
     Wy_p = jnp.concatenate([Wy, jnp.zeros((pad, ny), dtype)])
@@ -206,7 +207,8 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
         a, wy, wz = xs
         C = wy[:, :, None] * wz[:, None, :]
         return acc + jnp.einsum("ix,iyz->xyz", a, C,
-                                preferred_element_type=dtype), None
+                                preferred_element_type=dtype,
+                                precision=jax.lax.Precision.HIGHEST), None
 
     out, _ = jax.lax.scan(body, jnp.zeros((nx, ny, nz), dtype),
                           (A_c, Wy_c, Wz_c))
@@ -264,11 +266,13 @@ def dft3_power(Q, mats):
     """
     (wrx, wix), (wry, wiy), (wrz, wiz) = mats
 
+    HIGH = jax.lax.Precision.HIGHEST   # bf16 truncation costs ~1e-3 forces
+
     def apply_axis(re, im, wr, wi, axis):
-        re2 = jnp.tensordot(wr, re, axes=([1], [axis]))
-        re2 = re2 - jnp.tensordot(wi, im, axes=([1], [axis]))
-        im2 = jnp.tensordot(wr, im, axes=([1], [axis]))
-        im2 = im2 + jnp.tensordot(wi, re, axes=([1], [axis]))
+        re2 = jnp.tensordot(wr, re, axes=([1], [axis]), precision=HIGH)
+        re2 = re2 - jnp.tensordot(wi, im, axes=([1], [axis]), precision=HIGH)
+        im2 = jnp.tensordot(wr, im, axes=([1], [axis]), precision=HIGH)
+        im2 = im2 + jnp.tensordot(wi, re, axes=([1], [axis]), precision=HIGH)
         # tensordot moves the contracted axis to the front; rotate it back
         return jnp.moveaxis(re2, 0, axis), jnp.moveaxis(im2, 0, axis)
 
