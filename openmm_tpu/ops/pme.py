@@ -194,7 +194,7 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
         C = Wy[:, :, None] * Wz[:, None, :]
         return jnp.einsum("ix,iyz->xyz", A, C.astype(dtype),
                           preferred_element_type=dtype,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=jax.lax.Precision.HIGH)
     pad = n_chunks * atom_chunk - n
     A_p = jnp.concatenate([A, jnp.zeros((pad, nx), dtype)])
     Wy_p = jnp.concatenate([Wy, jnp.zeros((pad, ny), dtype)])
@@ -208,7 +208,7 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
         C = wy[:, :, None] * wz[:, None, :]
         return acc + jnp.einsum("ix,iyz->xyz", a, C,
                                 preferred_element_type=dtype,
-                                precision=jax.lax.Precision.HIGHEST), None
+                                precision=jax.lax.Precision.HIGH), None
 
     out, _ = jax.lax.scan(body, jnp.zeros((nx, ny, nz), dtype),
                           (A_c, Wy_c, Wz_c))
@@ -266,7 +266,7 @@ def dft3_power(Q, mats):
     """
     (wrx, wix), (wry, wiy), (wrz, wiz) = mats
 
-    HIGH = jax.lax.Precision.HIGHEST   # bf16 truncation costs ~1e-3 forces
+    HIGH = jax.lax.Precision.HIGH  # bf16x3: f32-grade, half the cost
 
     def apply_axis(re, im, wr, wi, axis):
         re2 = jnp.tensordot(wr, re, axes=([1], [axis]), precision=HIGH)
