@@ -64,6 +64,10 @@ load_graph(PyObject *spec, Graph *g)
         }
         g->elem[i] = PyLong_AsLong(e);
         g->ext[i] = PyLong_AsLong(x);
+        if ((g->elem[i] == -1 || g->ext[i] == -1) && PyErr_Occurred()) {
+            Py_DECREF(e); Py_DECREF(x); Py_DECREF(nb);
+            return 0;
+        }
         d = PySequence_Size(nb);
         if (d > MAX_DEGREE) {
             Py_DECREF(e); Py_DECREF(x); Py_DECREF(nb);
@@ -73,9 +77,21 @@ load_graph(PyObject *spec, Graph *g)
         g->deg[i] = (int)d;
         for (j = 0; j < d; j++) {
             PyObject *v = PySequence_GetItem(nb, j);
+            long nv;
             if (!v) { Py_DECREF(e); Py_DECREF(x); Py_DECREF(nb); return 0; }
-            g->nbr[i][j] = (int)PyLong_AsLong(v);
+            nv = PyLong_AsLong(v);
             Py_DECREF(v);
+            /* reject out-of-range neighbor indices: backtrack() reads
+             * r2t[nv] on the raw value, so a crafted adjacency list would
+             * otherwise be an out-of-bounds stack read */
+            if (nv < 0 || nv >= n) {
+                Py_DECREF(e); Py_DECREF(x); Py_DECREF(nb);
+                if (!PyErr_Occurred())
+                    PyErr_SetString(PyExc_ValueError,
+                                    "neighbor index out of range");
+                return 0;
+            }
+            g->nbr[i][j] = (int)nv;
         }
         Py_DECREF(e); Py_DECREF(x); Py_DECREF(nb);
     }

@@ -43,9 +43,16 @@ class Simulation(object):
             with open(state) as f:
                 from ..serialization import XmlSerializer
                 self.context.setState(XmlSerializer.deserialize(f.read()))
-        box = topology.getPeriodicBoxVectors() if topology is not None else None
-        if box is not None:
-            self.context.setPeriodicBoxVectors(*box.value_in_unit(u.nanometer))
+        else:
+            # without a restored state, the topology box (when present)
+            # overrides the System default; applying it after state= would
+            # clobber a restored NPT box (the reference never sets the box
+            # from topology here — simulation.py:102-110)
+            box = (topology.getPeriodicBoxVectors()
+                   if topology is not None else None)
+            if box is not None:
+                self.context.setPeriodicBoxVectors(
+                    *box.value_in_unit(u.nanometer))
 
     def minimizeEnergy(self, tolerance=10.0, maxIterations=0):
         from ..minimize import LocalEnergyMinimizer

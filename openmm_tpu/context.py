@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import io
 import os
-import pickle
 
 import numpy as np
 
@@ -680,30 +679,58 @@ class Context(object):
     # ------------------------------------------------------------- checkpoints
     def createCheckpoint(self):
         """Binary checkpoint (ContextImpl.cpp:445-490): platform + particle
-        count + full state pytree + parameters."""
+        count + full state pytree + parameters, stored as a plain npz archive
+        of leaf arrays (no code-execution surface — the reference's checkpoint
+        is likewise a dumb binary format, ContextImpl.cpp:445)."""
         import jax
-        payload = {
-            "magic": b"OMMTPU1",
-            "platform": self._platform.getName(),
-            "n_particles": self._n,
-            "state": jax.tree_util.tree_map(lambda x: np.asarray(x), self._state),
-            "params": jax.tree_util.tree_map(lambda x: np.asarray(x), self._params),
-        }
+        s_leaves = jax.tree_util.tree_leaves(self._state)
+        p_leaves = jax.tree_util.tree_leaves(self._params)
+        arrays = {"s%d" % i: np.asarray(x) for i, x in enumerate(s_leaves)}
+        arrays.update({"p%d" % i: np.asarray(x)
+                       for i, x in enumerate(p_leaves)})
+        arrays["header"] = np.array(
+            ["OMMTPU2", self._platform.getName(), str(self._n),
+             str(len(s_leaves)), str(len(p_leaves))])
         buf = io.BytesIO()
-        pickle.dump(payload, buf, protocol=pickle.HIGHEST_PROTOCOL)
+        np.savez(buf, **arrays)
         return buf.getvalue()
 
     def loadCheckpoint(self, checkpoint):
+        """Restore from createCheckpoint data. Leaves are validated against
+        the live Context's pytree structure — the file carries no executable
+        objects (never unpickled)."""
         import jax
         jnp = _jnp()
-        payload = pickle.loads(checkpoint)
-        if payload.get("magic") != b"OMMTPU1":
-            raise OpenMMException("Invalid checkpoint data")
-        if payload["n_particles"] != self._n:
-            raise OpenMMException("Checkpoint has wrong number of particles")
+        with np.load(io.BytesIO(checkpoint), allow_pickle=False) as data:
+            if "header" not in data or data["header"][0] != "OMMTPU2":
+                raise OpenMMException("Invalid checkpoint data")
+            header = data["header"]
+            if int(header[2]) != self._n:
+                raise OpenMMException("Checkpoint has wrong number of particles")
+            n_s, n_p = int(header[3]), int(header[4])
+            s_leaves_cur, s_def = jax.tree_util.tree_flatten(self._state)
+            p_leaves_cur, p_def = jax.tree_util.tree_flatten(self._params)
+            if n_s != len(s_leaves_cur) or n_p != len(p_leaves_cur):
+                raise OpenMMException(
+                    "Checkpoint does not match this Context's structure")
+            s_new, p_new = [], []
+            for i, cur in enumerate(s_leaves_cur):
+                arr = data["s%d" % i]
+                if tuple(arr.shape) != tuple(np.shape(cur)):
+                    raise OpenMMException(
+                        "Checkpoint leaf %d has wrong shape" % i)
+                s_new.append(arr)
+            for i, cur in enumerate(p_leaves_cur):
+                arr = data["p%d" % i]
+                if tuple(arr.shape) != tuple(np.shape(cur)):
+                    raise OpenMMException(
+                        "Checkpoint param leaf %d has wrong shape" % i)
+                p_new.append(arr)
         with jax.default_device(self._device):
-            self._state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
-            self._params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+            self._state = jax.tree_util.tree_map(
+                jnp.asarray, jax.tree_util.tree_unflatten(s_def, s_new))
+            self._params = jax.tree_util.tree_map(
+                jnp.asarray, jax.tree_util.tree_unflatten(p_def, p_new))
         for m, p in zip(self._modules, self._params):
             m.params = p
         self._positions_set = True

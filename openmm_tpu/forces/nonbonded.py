@@ -803,7 +803,12 @@ class NonbondedForce(Force):
                         cutoff=cutoff, max_cols=self._nl_max_cols,
                         block=nl_block, periodic=periodic, accum_dtype=accum,
                         sort_cell=self._nl_sort_cell)
-                e_d = e_d + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
+                # capacity overflow poisons BOTH energy and forces: integrators
+                # consume only forces, and silently truncated pair lists must
+                # never produce a finite (corrupted) trajectory
+                poison = jnp.where(overflow > 0, jnp.nan, 0.0)
+                e_d = e_d + poison.astype(accum)
+                f_pad = f_pad + poison.astype(f_pad.dtype)
 
                 def rest(pos):
                     e = exception_energy(pos, box, p, gp)
