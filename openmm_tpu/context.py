@@ -281,11 +281,15 @@ class Context(object):
                 if allow_fast else []
             fast_idx = {i for _, i in fast}
 
-            def ef(pos, box, params_list, gp):
+            def ef(pos, box, params_list, gp, faux=None):
                 e_total = jnp.zeros((), self._accum_dtype)
                 f_total = jnp.zeros_like(pos)
                 for m, i in fast:
-                    e_m, f_m = m.ef_fn(pos, box, params_list[i], gp)
+                    if m.needs_aux:
+                        aux = None if faux is None else faux.get(str(i))
+                        e_m, f_m = m.ef_fn(pos, box, params_list[i], gp, aux)
+                    else:
+                        e_m, f_m = m.ef_fn(pos, box, params_list[i], gp)
                     e_total = e_total + e_m.astype(self._accum_dtype)
                     f_total = f_total + f_m
 
@@ -312,23 +316,32 @@ class Context(object):
         deps.energy_fn = pe_all
         deps.force_fn = ef_all
 
-        # update hooks
+        # update hooks; cache refreshers (neighbor lists) run LAST so they
+        # see positions after any barostat/thermostat state mutation
         hooks = []
+
+        def make_hook(fn, i):
+            def hook(state, params_list):
+                aux = state["faux"].get(str(i))
+                new_state, new_aux = fn(deps, state, params_list, aux)
+                if new_aux is not None:
+                    new_state = dict(new_state)
+                    new_state["faux"] = dict(new_state["faux"])
+                    new_state["faux"][str(i)] = new_aux
+                return new_state
+            return hook
+
         for i, m in enumerate(modules):
             if m.update_state_fn is not None:
-                def make_hook(m=m, i=i):
-                    def hook(state, params_list):
-                        aux = state["faux"].get(str(i))
-                        new_state, new_aux = m.update_state_fn(deps, state,
-                                                               params_list, aux)
-                        if new_aux is not None:
-                            new_state = dict(new_state)
-                            new_state["faux"] = dict(new_state["faux"])
-                            new_state["faux"][str(i)] = new_aux
-                        return new_state
-                    return hook
-                hooks.append((make_hook(), i))
-        deps.update_hooks = hooks
+                hooks.append((make_hook(m.update_state_fn, i), i))
+        refreshers = []
+        for i, m in enumerate(modules):
+            if m.refresh_fn is not None:
+                # refreshers need their own params entry; record the index
+                m.refresh_fn.param_index = i
+                refreshers.append((make_hook(m.refresh_fn, i), i))
+        deps.update_hooks = hooks + refreshers
+        deps.refresh_hooks = refreshers
         return deps
 
     def _deps_for_groups(self, groups):
@@ -342,6 +355,86 @@ class Context(object):
         # evaluation (MonteCarloBarostatImpl.cpp:71-72), so restrict both.
         deps.energy_fn = pe
         return deps
+
+    def _refresh_aux(self):
+        """Bring cache-type faux entries (neighbor lists) up to date with the
+        current positions before a host-initiated force evaluation; a cheap
+        predicate-only no-op when nothing moved since the last build."""
+        import jax
+        if not self._deps.refresh_hooks:
+            return
+        if not hasattr(self, "_jit_refresh"):
+            hooks = self._deps.refresh_hooks
+
+            def refresh(state, params_list):
+                for hook, _ in hooks:
+                    state = hook(state, params_list)
+                return state
+
+            with jax.default_device(self._device):
+                self._jit_refresh = jax.jit(refresh)
+        with jax.default_device(self._device):
+            self._state = self._jit_refresh(self._state, self._params)
+
+    # ---------------------------------------------------- capacity escalation
+    def _neighbor_overflowed(self):
+        """True when any persistent neighbor list recorded a capacity
+        overflow (the `valid` flag of the reference's retry loop,
+        ContextImpl.cpp:298-307)."""
+        for i, m in enumerate(self._modules):
+            if not m.needs_aux:
+                continue
+            aux = self._state["faux"].get(str(i))
+            if aux is not None and "overflow" in aux \
+                    and int(aux["overflow"]) > 0:
+                return True
+        return False
+
+    def _escalate_neighbor_capacity(self):
+        """Grow neighbor capacities and recompile (the resize half of the
+        reference's overflow retry)."""
+        import jax
+        for force in set(self._module_force):
+            if hasattr(force, "_escalate_nl_capacity"):
+                force._escalate_nl_capacity()
+        with jax.default_device(self._device):
+            modules, module_force = [], []
+            for force in self._system.getForces():
+                compiled = force._compile(self._system, self._cfg)
+                if isinstance(compiled, CompiledForce):
+                    compiled = [compiled]
+                for m in compiled:
+                    modules.append(m)
+                    module_force.append(force)
+        self._modules = modules
+        self._module_force = module_force
+        with jax.default_device(self._device):
+            self._params = [m.params for m in self._modules]
+        self._deps = self._make_deps()
+        # re-init aux entries whose shapes changed; keep matching ones
+        # (barostat statistics survive an unrelated neighbor resize)
+        import jax.tree_util as jtu
+        with jax.default_device(self._device):
+            old_faux = self._state["faux"]
+            faux = {}
+            for i, m in enumerate(self._modules):
+                if m.init_aux is None:
+                    continue
+                fresh = m.init_aux(self._deps)
+                old = old_faux.get(str(i))
+                same = (old is not None
+                        and jtu.tree_structure(old) == jtu.tree_structure(fresh)
+                        and all(getattr(a, "shape", None) == getattr(b, "shape", None)
+                                for a, b in zip(jtu.tree_leaves(old),
+                                                jtu.tree_leaves(fresh))))
+                faux[str(i)] = old if same else fresh
+            self._state = dict(self._state)
+            self._state["faux"] = faux
+        self._step_fn_cache.clear()
+        self._ef_fn_cache.clear()
+        self._ke_fn_cache.clear()
+        if hasattr(self, "_jit_refresh"):
+            del self._jit_refresh
 
     # ------------------------------------------------------------ accessors
     def getSystem(self):
@@ -478,34 +571,53 @@ class Context(object):
         if not self._positions_set:
             raise OpenMMException("Particle positions have not been set")
         groups = self._integrator.getIntegrationForceGroups()
-        cache_key = ("step", groups, extra_key)
-        if cache_key not in self._step_fn_cache:
-            deps = self._deps_for_groups(groups)
-            deps.update_hooks = self._deps.update_hooks
-            step_fn = self._integrator._make_step_fn(deps)
 
-            def run(state, params_list, n):
-                def body(i, s):
-                    return step_fn(s, params_list)
-                return jax.lax.fori_loop(0, n, body, state)
+        def get_fn():
+            cache_key = ("step", groups, extra_key)
+            if cache_key not in self._step_fn_cache:
+                deps = self._deps_for_groups(groups)
+                deps.update_hooks = self._deps.update_hooks
+                step_fn = self._integrator._make_step_fn(deps)
 
-            with jax.default_device(self._device):
-                self._step_fn_cache[cache_key] = jax.jit(run)
+                def run(state, params_list, n):
+                    def body(i, s):
+                        return step_fn(s, params_list)
+                    return jax.lax.fori_loop(0, n, body, state)
+
+                with jax.default_device(self._device):
+                    self._step_fn_cache[cache_key] = jax.jit(run)
+            return self._step_fn_cache[cache_key]
+
         # cap the steps per device dispatch: a single very long fori_loop
         # execution can exceed the remote-tunnel RPC deadline and take the
         # worker down; chunking costs one dispatch (~0.03 ms) per chunk
         chunk = int(os.environ.get("OMM_TPU_STEP_CHUNK", "500"))
+        check_overflow = any(m.needs_aux for m in self._modules)
         with jax.default_device(self._device):
-            fn = self._step_fn_cache[cache_key]
             remaining = n_steps
+            retries = 0
             while remaining > 0:
                 this = min(remaining, chunk) if chunk > 0 else remaining
-                self._state = fn(self._state, self._params, this)
+                snapshot = self._state
+                self._state = get_fn()(self._state, self._params, this)
+                if check_overflow and self._neighbor_overflowed():
+                    # the reference's neighbor-overflow retry
+                    # (ContextImpl.cpp:298-307): restore the pre-chunk state,
+                    # grow capacity, recompile, and redo the chunk
+                    retries += 1
+                    if retries > 6:
+                        raise OpenMMException(
+                            "Neighbor list capacity escalation failed to "
+                            "converge")
+                    self._state = snapshot
+                    self._escalate_neighbor_capacity()
+                    continue
                 remaining -= this
 
     # --------------------------------------------------------------- getState
     def _energy_forces(self, groups, need_derivs=False):
         import jax
+        self._refresh_aux()
         key = (groups, need_derivs)
         if key not in self._ef_fn_cache:
             deriv_names = sorted({d for m in self._modules
@@ -513,8 +625,8 @@ class Context(object):
 
             pe_g, ef_g = self._deps._force_fn_factory(groups)
 
-            def fn(pos, box, params_list, gp):
-                e, f = ef_g(pos, box, params_list, gp)
+            def fn(pos, box, params_list, gp, faux):
+                e, f = ef_g(pos, box, params_list, gp, faux)
                 derivs = {}
                 if need_derivs and deriv_names:
                     def pe(gp):
@@ -532,7 +644,7 @@ class Context(object):
         # default device (the TPU under axon) even for CPU-profile contexts
         with jax.default_device(self._device):
             return self._ef_fn_cache[key](s["positions"], s["box"],
-                                          self._params, s["gp"])
+                                          self._params, s["gp"], s["faux"])
 
     def _make_position_energy_fn(self, groups=-1):
         """(pos ndarray) -> (energy, forces) with current params/box/gp; used
@@ -649,6 +761,7 @@ class Context(object):
 
     def _update_force_parameters(self, force):
         import jax
+        jnp = _jnp()
         new_params = None
         for i, (m, f) in enumerate(zip(self._modules, self._module_force)):
             if f is force:
@@ -657,6 +770,18 @@ class Context(object):
                         new_params = force._pack_params(self._cfg)
                 self._modules[i].params = new_params
                 self._params[i] = new_params
+                # invalidate persistent caches built from the old parameters
+                # (e.g. baked tile parameter planes): an infinite reference
+                # position forces a rebuild at the next refresh
+                aux = self._state["faux"].get(str(i))
+                if aux is not None and "ref_pos" in aux:
+                    with jax.default_device(self._device):
+                        aux = dict(aux)
+                        aux["ref_pos"] = jnp.full_like(aux["ref_pos"], jnp.inf)
+                        faux = dict(self._state["faux"])
+                        faux[str(i)] = aux
+                        self._state = dict(self._state)
+                        self._state["faux"] = faux
 
     # --------------------------------------------------------- constraints API
     def applyConstraints(self, tol=None):

@@ -50,9 +50,19 @@ class CompiledForce:
     requested_derivs: tuple = ()
     # optional per-force auxiliary state initializer: deps -> pytree
     init_aux: Optional[Callable] = None
-    # optional analytic energy+force path (pos, box, params, gp) -> (E, F):
-    # bypasses reverse-mode for the hot kernel (the row-kernel design)
+    # optional analytic energy+force path (pos, box, params, gp[, aux]) ->
+    # (E, F): bypasses reverse-mode for the hot kernel (the row-kernel design)
     ef_fn: Optional[Callable] = None
+    # True when ef_fn takes a 5th `aux` argument (the module's faux entry,
+    # e.g. a persistent neighbor list); None is always a legal aux value and
+    # means "recompute the cache inline"
+    needs_aux: bool = False
+    # optional cache refresher run at the START of every step AFTER all
+    # update_state_fn hooks (so it sees barostat-scaled positions):
+    # (deps, state, params_list, aux) -> (state, new_aux). Unlike
+    # update_state_fn this must not mutate physical state — it maintains
+    # derived caches (neighbor lists) only.
+    refresh_fn: Optional[Callable] = None
 
     def _with_init_aux(self, fn):
         self.init_aux = fn

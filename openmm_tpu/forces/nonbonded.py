@@ -324,6 +324,12 @@ class NonbondedForce(Force):
         return self._method in (NonbondedForce.CutoffPeriodic, NonbondedForce.Ewald,
                                 NonbondedForce.PME, NonbondedForce.LJPME)
 
+    def _escalate_nl_capacity(self):
+        """Grow the persistent neighbor-list capacity after an overflow
+        (Context re-runs _compile; the reference resizes its interaction
+        buffers the same way, ContextImpl.cpp:298-307)."""
+        self._nl_scale = getattr(self, "_nl_scale", 1.0) * 1.4
+
     def updateParametersInContext(self, context):
         context._update_force_parameters(self)
 
@@ -684,6 +690,12 @@ class NonbondedForce(Force):
         use_neighbor = (use_cutoff and cfg.use_neighbor_list and n >= 1024
                         and periodic)
         nl_block = 64
+        # Direct-space tile engine: 'pallas' (hand-scheduled TPU kernel) or
+        # 'rows' (XLA tile sweep). Both reuse a PERSISTENT candidate state
+        # (spatial sort + block culling at cutoff + skin) carried in the
+        # Context aux and rebuilt on the motion predicate; OMM_TPU_DIRECT
+        # overrides the choice, OMM_TPU_DIRECT=perstep disables persistence.
+        engine_env = os.environ.get("OMM_TPU_DIRECT", "auto")
         if use_neighbor:
             n_pad = pairs_mod.pad_to_block(n, nl_block)
             excl_np2 = pairs_mod.build_exclusion_table(n, excl_pairs)
@@ -702,20 +714,38 @@ class NonbondedForce(Force):
             # side on average; the measured max close-block count at DHFR
             # scale matches reach = rc + 1.85*block_side (mean 67, max 98 of
             # 375 blocks), so budget that plus a 1.35x safety margin
+            nl_scale = getattr(self, "_nl_scale", 1.0)
+            nl_skin = float(os.environ.get("OMM_TPU_NL_SKIN", "0.1"))
             reach = cutoff + 1.85 * block_side
             neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
-            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.6"))
+            margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.6")) \
+                * nl_scale
             self._nl_max_cols = min(nb_blocks, int(neigh * margin) + 4)
             self._nl_sort_cell = block_side
+            # skinned budget for the persistent state
+            reach_s = cutoff + nl_skin + 1.85 * block_side
+            neigh_s = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach_s ** 3
+            nl_max_cols_s = min(nb_blocks, int(neigh_s * margin) + 4)
+            # the Pallas engine bakes parameter planes at list build, so it
+            # requires parameters that can't drift mid-trajectory via global
+            # parameter offsets (the rows engine re-sorts them every step)
+            pallas_ok = (cfg.platform_name == "TPU"
+                         and dtype == jnp.float32
+                         and not use_switch and not is_ljpme
+                         and particle_offs is None)
+            direct_engine = ("pallas" if pallas_ok else "rows") \
+                if engine_env in ("auto", "perstep") else engine_env
+        else:
+            direct_engine = "n2"
 
         def direct_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)
-            per_atom = {
-                "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
-                "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
-                "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
-            }
             if use_neighbor:
+                per_atom = {
+                    "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
+                    "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
+                    "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
+                }
                 # padded atoms sit on atom 0 so block bounding boxes stay tight
                 pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
                 e, _, overflow = pairs_mod.pair_energy_force_rows(
@@ -727,6 +757,11 @@ class NonbondedForce(Force):
                 # reference's overflow-retry, ContextImpl.cpp:298)
                 e = e + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
             else:
+                per_atom = {
+                    "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
+                    "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
+                    "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
+                }
                 pos_pad = jnp.zeros((n_pad, 3), pos.dtype).at[:n].set(pos)
                 e = pairs_mod.pair_energy_n2(
                     pos_pad, box, lj_and_coulomb, per_atom, exclusions, n,
@@ -739,6 +774,11 @@ class NonbondedForce(Force):
                 e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
             return e
 
+        # fused Pallas spread (ops/pallas_pme.py) on the TPU f32 path; the
+        # chunked-einsum spread everywhere else
+        pallas_spread = (cfg.platform_name == "TPU" and dtype == jnp.float32
+                         and os.environ.get("OMM_TPU_PME_PALLAS", "1") == "1")
+
         def reciprocal_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)
             e = pme_mod.ewald_self_energy(charge, alpha, accum)
@@ -749,82 +789,141 @@ class NonbondedForce(Force):
                 e = e + pme_mod.pme_reciprocal_energy(
                     pos, charge, box, pme_grid, 5, alpha,
                     pme_data["bsq_x"], pme_data["bsq_y"], pme_data["bsq_z"],
-                    accum)
+                    accum, pallas=pallas_spread)
             if is_ljpme:
                 c6 = 2.0 * jnp.sqrt(eps) * sigma ** 3
                 e = e + pme_mod.dispersion_self_energy(c6, lj_alpha, accum)
                 e = e + pme_mod.pme_reciprocal_energy(
                     pos, charge, box, lj_grid, 5, lj_alpha,
                     pme_data["bsq_x_lj"], pme_data["bsq_y_lj"],
-                    pme_data["bsq_z_lj"], accum, coulomb=False, c6s=c6)
+                    pme_data["bsq_z_lj"], accum, coulomb=False, c6s=c6,
+                    pallas=pallas_spread)
             return e
 
+        def pad_per_atom(charge, sigma, eps):
+            return {
+                "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
+                "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
+                "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
+            }
+
+        def build_direct_state(pos, box, p, gp):
+            """Build the persistent candidate state (engine-specific)."""
+            pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
+            if direct_engine == "pallas":
+                from ..ops import pallas_pairs as pp
+                charge, sigma, eps = effective_particle_params(p, gp)
+                pa = pad_per_atom(charge, sigma, eps)
+                return pp.build_tile_state(
+                    pos_pad, box, pa["charge"], pa["sigma"], pa["epsilon"],
+                    exclusions, n, cutoff + nl_skin, nl_max_cols_s,
+                    block=nl_block, sort_cell=self._nl_sort_cell)
+            return pairs_mod.build_row_state(
+                pos_pad, box, n, cutoff + nl_skin, nl_max_cols_s,
+                block=nl_block, periodic=periodic,
+                sort_cell=self._nl_sort_cell)
+
+        def direct_ef_from_state(pos, box, p, gp, st):
+            """(energy, forces) of the tile sweep given a candidate state."""
+            pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
+            if direct_engine == "pallas":
+                from ..ops import pallas_pairs as pp
+                mode = (pp.MODE_EWALD if is_ewald_family
+                        else pp.MODE_RF if use_cutoff else pp.MODE_PLAIN)
+                e_d, f_pad = pp.eval_tiles(
+                    pos_pad, box, st, n, cutoff, mode,
+                    alpha=(alpha if is_ewald_family else 0.0),
+                    krf=(krf if (use_cutoff and not is_ewald_family)
+                         else 0.0),
+                    crf=(crf if (use_cutoff and not is_ewald_family)
+                         else 0.0), block=nl_block)
+                return e_d.astype(accum), f_pad[:n]
+            charge, sigma, eps = effective_particle_params(p, gp)
+            e_d, f_pad = pairs_mod.rows_ef_from_state(
+                pos_pad, box, st, lj_coulomb_ef,
+                pad_per_atom(charge, sigma, eps), exclusions, n, cutoff,
+                block=nl_block, periodic=periodic, accum_dtype=accum)
+            return e_d, f_pad[:n]
+
         def make_direct_ef(include_recip):
-            """Analytic-force fast path: row kernel for the pair sweep, one
-            small reverse-mode pass for exceptions/corrections/reciprocal."""
+            """Analytic-force fast path + one small reverse-mode pass for
+            exceptions/corrections/reciprocal. The tile-candidate state
+            persists in the Context aux (rebuilt on the motion predicate);
+            aux=None rebuilds inline (host-initiated getState before any
+            step, minimizer)."""
             if not use_neighbor:
                 return None
 
-            # the hand-scheduled Pallas tile kernel covers the common f32
-            # PME/Ewald/RF/plain-cutoff cases on TPU; everything else (f64,
-            # switching, LJPME) takes the XLA row kernel
-            use_pallas = (cfg.platform_name == "TPU"
-                          and dtype == jnp.float32
-                          and not use_switch and not is_ljpme
-                          and nl_block == 64
-                          and os.environ.get("OMM_TPU_PALLAS", "1") == "1")
+            def rest_energy(pos, box, p, gp):
+                e = exception_energy(pos, box, p, gp)
+                if is_ewald_family:
+                    ch, sg, ep = effective_particle_params(p, gp)
+                    e = e + exclusion_correction(pos, box, ch, gp, sg, ep)
+                if "disp_coeff" in p:
+                    e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
+                if include_recip:
+                    e = e + reciprocal_energy(pos, box, p, gp)
+                return e
 
-            def ef(pos, box, p, gp):
-                charge, sigma, eps = effective_particle_params(p, gp)
-                per_atom = {
-                    "charge": jnp.zeros(n_pad, dtype).at[:n].set(charge),
-                    "sigma": jnp.ones(n_pad, dtype).at[:n].set(sigma),
-                    "epsilon": jnp.zeros(n_pad, dtype).at[:n].set(eps),
-                }
-                pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
-                if use_pallas:
-                    from ..ops import pallas_pairs as pp
-                    mode = (pp.MODE_EWALD if is_ewald_family
-                            else pp.MODE_RF if use_cutoff else pp.MODE_PLAIN)
-                    e_d, f_pad, overflow = pp.direct_ef_pallas(
-                        pos_pad, box, per_atom["charge"], per_atom["sigma"],
-                        per_atom["epsilon"], exclusions, n, cutoff,
-                        max_cols=self._nl_max_cols, mode=mode,
-                        alpha=(alpha if is_ewald_family else 0.0),
-                        krf=(krf if (use_cutoff and not is_ewald_family)
-                             else 0.0),
-                        crf=(crf if (use_cutoff and not is_ewald_family)
-                             else 0.0),
-                        block=nl_block, sort_cell=self._nl_sort_cell)
-                    e_d = e_d.astype(accum)
+            def ef(pos, box, p, gp, aux=None):
+                if aux is None:
+                    st = build_direct_state(pos, box, p, gp)
+                    overflow = st["overflow"]
                 else:
-                    e_d, f_pad, overflow = pairs_mod.pair_energy_force_rows(
-                        pos_pad, box, lj_coulomb_ef, per_atom, exclusions, n,
-                        cutoff=cutoff, max_cols=self._nl_max_cols,
-                        block=nl_block, periodic=periodic, accum_dtype=accum,
-                        sort_cell=self._nl_sort_cell)
-                # capacity overflow poisons BOTH energy and forces: integrators
-                # consume only forces, and silently truncated pair lists must
-                # never produce a finite (corrupted) trajectory
+                    st = aux["st"]
+                    overflow = aux["overflow"]
+                e_d, f = direct_ef_from_state(pos, box, p, gp, st)
+                # capacity overflow poisons BOTH energy and forces:
+                # integrators consume only forces, and silently truncated
+                # pair lists must never yield a finite (corrupt) trajectory
                 poison = jnp.where(overflow > 0, jnp.nan, 0.0)
                 e_d = e_d + poison.astype(accum)
-                f_pad = f_pad + poison.astype(f_pad.dtype)
-
-                def rest(pos):
-                    e = exception_energy(pos, box, p, gp)
-                    if is_ewald_family:
-                        ch, sg, ep = effective_particle_params(p, gp)
-                        e = e + exclusion_correction(pos, box, ch, gp, sg, ep)
-                    if "disp_coeff" in p:
-                        e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
-                    if include_recip:
-                        e = e + reciprocal_energy(pos, box, p, gp)
-                    return e
-
-                e_r, g = jax.value_and_grad(rest)(pos)
-                return e_d + e_r, f_pad[:n] - g
+                f = f + poison.astype(f.dtype)
+                e_r, g = jax.value_and_grad(
+                    lambda q: rest_energy(q, box, p, gp))(pos)
+                return e_d + e_r, f - g
 
             return ef
+
+        def make_nl_aux_fns(module_params):
+            """(init_aux, refresh_fn) carrying the persistent tile state."""
+            if not use_neighbor or engine_env == "perstep":
+                return None, None
+            nl_skin_local = nl_skin
+
+            def init_aux(deps):
+                # placeholder geometry fixes the aux SHAPES; ref_pos = +inf
+                # forces a real build on the first step
+                zero_pos = jnp.zeros((n, 3), dtype)
+                box0j = jnp.asarray(box0.astype(np.dtype(dtype)))
+                gp0 = {name: jnp.asarray(val, dtype)
+                       for name, val in self._global_params}
+                st = build_direct_state(zero_pos, box0j, module_params, gp0)
+                st = dict(st)
+                st.pop("overflow", None)
+                return {"st": st,
+                        "ref_pos": jnp.full((n, 3), jnp.inf, dtype),
+                        "overflow": jnp.zeros((), jnp.int32)}
+
+            def refresh(deps, state, params_list, aux):
+                pos = state["positions"]
+                box = state["box"]
+
+                def do(aux):
+                    p = params_list[refresh.param_index]
+                    st = build_direct_state(pos, box, p, state["gp"])
+                    st = dict(st)
+                    ov = st.pop("overflow")
+                    return {"st": st, "ref_pos": pos,
+                            "overflow": aux["overflow"] + ov}
+
+                new_aux = jax.lax.cond(
+                    pairs_mod.needs_rebuild(pos, aux["ref_pos"],
+                                            nl_skin_local),
+                    do, lambda a: a, aux)
+                return state, new_aux
+
+            return init_aux, refresh
 
         modules = []
         merged_recip = is_ewald_family and self._recip_group in (-1, self._force_group)
@@ -839,13 +938,16 @@ class NonbondedForce(Force):
                 energy_fn = direct_energy
             else:
                 energy_fn = direct_energy
+            init_aux, refresh_fn = make_nl_aux_fns(params)
             modules.append(CompiledForce(
                 name=self.getName(), force_group=self.getForceGroup(),
                 params=params, energy_fn=energy_fn, uses_pbc=periodic,
                 bonded_particles=tuple(self._bonded_particles()),
                 global_defaults=self._default_global_values(),
                 ef_fn=make_direct_ef(include_recip=merged_recip
-                                     and include_direct)))
+                                     and include_direct),
+                needs_aux=init_aux is not None,
+                init_aux=init_aux, refresh_fn=refresh_fn))
         if is_ewald_family and not merged_recip:
             grp = self._recip_group
             modules.append(CompiledForce(

@@ -37,8 +37,10 @@ class StepDeps:
     apply_position_constraints: Callable = None   # (ref, new) -> constrained
     apply_velocity_constraints: Callable = None   # (pos, vel) -> constrained
     compute_vsites: Callable = None               # pos -> pos
-    # updateContextState hooks: [(hook, params_index)]
+    # updateContextState hooks: [(hook, params_index)]; cache refreshers
+    # (neighbor lists) are appended last and also listed separately
     update_hooks: list = field(default_factory=list)
+    refresh_hooks: list = field(default_factory=list)
     params_struct: Any = None
     has_constraints: bool = False
     # molecule partition (ContextImpl::getMolecules): for barostat COM scaling

@@ -292,7 +292,7 @@ class CustomIntegrator(Integrator):
                 if g not in cache:
                     pe, ef = deps._force_fn_factory(group_mask(g))
                     e, f = ef(state["positions"], state["box"],
-                              eval_forces.params, state["gp"])
+                              eval_forces.params, state["gp"], state["faux"])
                     cache[g] = (e, f)
             return cache
 
@@ -463,6 +463,10 @@ class CustomIntegrator(Integrator):
 
         def step(state, params_list):
             exec_nodes.params = params_list
+            # neighbor-list refreshers run every step even when the program
+            # has no UpdateContextState op (stale lists silently drop pairs)
+            for hook, pidx in deps.refresh_hooks:
+                state = hook(state, params_list)
             key = state["key"]
             carry = (state, {}, key)
             state, cache, key = exec_nodes(tree, carry)

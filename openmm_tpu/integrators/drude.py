@@ -124,7 +124,7 @@ class DrudeLangevinIntegrator(_DrudeBase):
             noisescale_d = jnp.sqrt(kT_d * (1.0 - vscale_d * vscale_d))
             key, k1, k2, k3 = jax.random.split(state["key"], 4)
             _, forces = deps.force_fn(pos, state["box"], params_list,
-                                      state["gp"])
+                                      state["gp"], state["faux"])
             # normal particles: standard Langevin update
             xi_all = jax.random.normal(k1, pos.shape, pos.dtype)
             sqrt_inv_m = jnp.sqrt(inv_m)[:, None]
@@ -218,9 +218,9 @@ class DrudeSCFIntegrator(_DrudeBase):
         sel_d[np.asarray(drude_idx)] = n + np.arange(n_pairs)
         sel_d = jnp.asarray(sel_d)
 
-        def minimize_drude(pos, box, params_list, gp):
+        def minimize_drude(pos, box, params_list, gp, faux=None):
             def body(i, pos):
-                _, forces = deps.force_fn(pos, box, params_list, gp)
+                _, forces = deps.force_fn(pos, box, params_list, gp, faux)
                 new_drude = pos[drude_idx] + forces[drude_idx] / k_spring
                 return jnp.concatenate([pos, new_drude])[sel_d]
 
@@ -233,7 +233,7 @@ class DrudeSCFIntegrator(_DrudeBase):
             vel = state["velocities"]
             dt = state["iparams"]["dt"].astype(pos.dtype)
             _, forces = deps.force_fn(pos, state["box"], params_list,
-                                      state["gp"])
+                                      state["gp"], state["faux"])
             vnew = vel + dt * forces * inv_m
             vnew = jnp.where(moving, vnew, vel)
             # zero velocity of drude relative dof (they carry no dynamics)
@@ -242,7 +242,7 @@ class DrudeSCFIntegrator(_DrudeBase):
             new_pos = deps.apply_position_constraints(pos, new_pos_raw)
             vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
             new_pos = minimize_drude(new_pos, state["box"], params_list,
-                                     state["gp"])
+                                     state["gp"], state["faux"])
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state["positions"] = new_pos
@@ -312,7 +312,7 @@ class DrudeNoseHooverIntegrator(_DrudeBase):
             tau_d = 1.0 / ip["drudeFrequency"].astype(pos.dtype)
             aux = state["aux"]
             _, forces = deps.force_fn(pos, state["box"], params_list,
-                                      state["gp"])
+                                      state["gp"], state["faux"])
             v = vel + dt * forces * inv_m[:, None]
             v = jnp.where(moving, v, vel)
             v = deps.apply_velocity_constraints(pos, v)

@@ -75,7 +75,8 @@ class LangevinIntegrator(_StochasticMixin, Integrator):
             noisescale = jnp.sqrt(kT * (1.0 - vscale * vscale))
             key, sub = jax.random.split(state["key"])
             xi = jax.random.normal(sub, pos.shape, dtype=pos.dtype)
-            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"])
+            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"],
+                                      state["faux"])
             vnew = vscale * vel + fscale * forces * inv_m + noisescale * sqrt_inv_m * xi
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
@@ -127,7 +128,8 @@ class LangevinMiddleIntegrator(_StochasticMixin, Integrator):
             key, sub = jax.random.split(state["key"])
             xi = jax.random.normal(sub, pos.shape, dtype=pos.dtype)
             # B: full kick
-            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"])
+            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"],
+                                      state["faux"])
             v = vel + dt * forces * inv_m
             v = jnp.where(moving, v, vel)
             # RATTLE velocities before the O step (kernel order: part1,
@@ -186,7 +188,8 @@ class BrownianIntegrator(_StochasticMixin, Integrator):
             noise_amp = jnp.sqrt(2.0 * kT * tau_dt)
             key, sub = jax.random.split(state["key"])
             xi = jax.random.normal(sub, pos.shape, dtype=pos.dtype)
-            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"])
+            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"],
+                                      state["faux"])
             delta = tau_dt * forces * inv_m + noise_amp * sqrt_inv_m * xi
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
             new_pos = deps.apply_position_constraints(pos, new_pos_raw)

@@ -166,7 +166,7 @@ class NoseHooverIntegrator(Integrator):
             aux = state["aux"]
             # B: full kick
             _, forces = deps.force_fn(pos, state["box"], params_list,
-                                      state["gp"])
+                                      state["gp"], state["faux"])
             v = vel + dt * forces * inv_m
             v = jnp.where(moving, v, vel)
             v = deps.apply_velocity_constraints(pos, v)

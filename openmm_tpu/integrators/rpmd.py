@@ -235,6 +235,9 @@ class RPMDIntegrator(Integrator):
                 vel_all, key = pile_half(vel_all, kT, dt, gamma, key)
 
             def copy_forces(pos):
+                # faux deliberately omitted: replicas have distinct
+                # coordinates, so a shared persistent neighbor list would be
+                # wrong — each bead rebuilds inline (vmapped)
                 _, f = deps.force_fn(pos, state["box"], params_list,
                                      state["gp"])
                 return f

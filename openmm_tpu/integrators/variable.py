@@ -63,7 +63,8 @@ class VariableVerletIntegrator(Integrator):
             pos = state["positions"]
             vel = state["velocities"]
             ip = state["iparams"]
-            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"])
+            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"],
+                                      state["faux"])
             dt = _select_step_size(forces, deps.inv_masses,
                                    ip["dt"].astype(pos.dtype),
                                    ip["errorTol"].astype(pos.dtype),
@@ -127,7 +128,8 @@ class VariableLangevinIntegrator(_StochasticMixin, Integrator):
             ip = state["iparams"]
             gamma = ip["friction"].astype(pos.dtype)
             kT = (BOLTZ * ip["temperature"]).astype(pos.dtype)
-            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"])
+            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"],
+                                      state["faux"])
             dt = _select_step_size(forces, deps.inv_masses,
                                    ip["dt"].astype(pos.dtype),
                                    ip["errorTol"].astype(pos.dtype),

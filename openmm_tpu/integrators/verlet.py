@@ -25,7 +25,8 @@ class VerletIntegrator(Integrator):
             pos = state["positions"]
             vel = state["velocities"]
             dt = state["iparams"]["dt"].astype(pos.dtype)
-            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"])
+            _, forces = deps.force_fn(pos, state["box"], params_list, state["gp"],
+                                      state["faux"])
             vnew = vel + dt * forces * inv_m
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)

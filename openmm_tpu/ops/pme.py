@@ -154,7 +154,7 @@ def make_pme_recip_data(grid, order, dtype=np.float64):
 
 
 def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
-                         atom_chunk=4096):
+                         atom_chunk=4096, pallas=False):
     """Scatter-free B-spline charge spreading for TPU.
 
     The sparse scatter (125 points/atom) is recast as dense per-axis weight
@@ -163,6 +163,10 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
     more FLOPs for the elimination of XLA scatter (which serializes on TPU) —
     a large win for MD-sized grids; the reverse-mode gradient is the matching
     dense gather automatically.
+
+    With pallas=True the triple contraction runs in a fused Pallas kernel
+    (ops/pallas_pme.py) that never materializes the (N, ny*nz) intermediate
+    in HBM — use on TPU with f32.
     """
     nx, ny, nz = grid
     n = pos.shape[0]
@@ -188,6 +192,17 @@ def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
     Wy = axis_weights(1, ny)
     Wz = axis_weights(2, nz)
     A = charges[:, None].astype(dtype) * Wx.astype(dtype)
+
+    if pallas and dtype == jnp.float32:
+        from .pallas_pme import spread_triple, CHUNK
+        pad = (-n) % CHUNK
+        if pad:
+            A_p = jnp.concatenate([A, jnp.zeros((pad, nx), dtype)])
+            Wy_p = jnp.concatenate([Wy, jnp.zeros((pad, ny), dtype)])
+            Wz_p = jnp.concatenate([Wz, jnp.zeros((pad, nz), dtype)])
+        else:
+            A_p, Wy_p, Wz_p = A, Wy, Wz
+        return spread_triple(A_p, Wy_p, Wz_p).reshape(nx, ny, nz)
 
     n_chunks = max(1, -(-n // atom_chunk))
     if n_chunks == 1:
@@ -299,7 +314,8 @@ def _k_vectors(grid, box_inv, dtype):
 
 
 def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,
-                          bsq_z, accum_dtype, coulomb=True, c6s=None):
+                          bsq_z, accum_dtype, coulomb=True, c6s=None,
+                          pallas=False):
     """Reciprocal-space PME energy.
 
     For coulomb: E = f/(2 pi V) sum_{m != 0} exp(-pi^2 m^2/a^2)/m^2 B(m) |FQ|^2.
@@ -312,7 +328,8 @@ def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,
     box_inv = geom.box_inverse(box)
     vol = geom.box_volume(box)
     q = charges if coulomb else c6s
-    Q = spread_charges_dense(pos, q, box_inv, grid, order, dtype)
+    Q = spread_charges_dense(pos, q, box_inv, grid, order, dtype,
+                             pallas=pallas)
     if max(grid) <= 128:
         mats = tuple(
             tuple(jnp.asarray(m.astype(dtype)) for m in _dft_matrices(g))
