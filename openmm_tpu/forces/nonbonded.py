@@ -726,17 +726,52 @@ class NonbondedForce(Force):
             reach_s = cutoff + nl_skin + 1.85 * block_side
             neigh_s = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach_s ** 3
             nl_max_cols_s = min(nb_blocks, int(neigh_s * margin) + 4)
+            # compacted-column capacity (atoms within reach of a block bbox):
+            # density * sphere-dilated block volume with the worst-case
+            # 2-brick z straddle (a, a, 2a), plus a variance margin
+            rho = n / vol
+            rr = cutoff + nl_skin
+            a = b_ = block_side
+            c_ = 2.0 * block_side
+            vol_dil = (a * b_ * c_
+                       + 2.0 * rr * (a * b_ + a * c_ + b_ * c_)
+                       + math.pi * rr * rr * (a + b_ + c_)
+                       + (4.0 / 3.0) * math.pi * rr ** 3)
+            col_margin = float(os.environ.get("OMM_TPU_NL_COL_MARGIN",
+                                              "1.25")) * nl_scale
+            self._nl_col_cap = min(
+                n_pad, int(-(-(rho * vol_dil * col_margin) // 128) * 128))
             # the Pallas engine bakes parameter planes at list build, so it
             # requires parameters that can't drift mid-trajectory via global
             # parameter offsets (the rows engine re-sorts them every step)
+            # the compacted-column engine stores ONE periodic image per
+            # column slot (chosen at build); that is exact only when no
+            # second image can fall within reach of a block's bounding box:
+            # min_box/2 >= cutoff + skin + worst block half-extent (a block
+            # can straddle two sort bricks along z, so ~1.6x the brick side)
+            min_box = min(float(box0[0][0]), float(box0[1][1]),
+                          float(box0[2][2]))
+            box_ok = min_box >= 2.05 * (cutoff + nl_skin + 1.6 * block_side)
             pallas_ok = (cfg.platform_name == "TPU"
                          and dtype == jnp.float32
                          and not use_switch and not is_ljpme
-                         and particle_offs is None)
+                         and particle_offs is None and box_ok)
             direct_engine = ("pallas" if pallas_ok else "rows") \
                 if engine_env in ("auto", "perstep") else engine_env
         else:
             direct_engine = "n2"
+
+        # forward-only z-slab PME (ops/pme_zslab.py) rides the same persistent
+        # aux as the direct tile state; it replaces the jax.grad double pass
+        # through the dense spread on the TPU fast path
+        use_zslab = (use_neighbor and direct_engine == "pallas"
+                     and method == NonbondedForce.PME and not is_ljpme
+                     and os.environ.get("OMM_TPU_PME_ZSLAB", "1") == "1")
+        if use_zslab:
+            from ..ops import pme_zslab
+            zslab_cfg = pme_zslab.zslab_config(
+                n, pme_grid,
+                margin=1.25 * getattr(self, "_nl_scale", 1.0))
 
         def direct_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)
@@ -814,10 +849,19 @@ class NonbondedForce(Force):
                 from ..ops import pallas_pairs as pp
                 charge, sigma, eps = effective_particle_params(p, gp)
                 pa = pad_per_atom(charge, sigma, eps)
-                return pp.build_tile_state(
+                st = pp.build_tile_state(
                     pos_pad, box, pa["charge"], pa["sigma"], pa["epsilon"],
                     exclusions, n, cutoff + nl_skin, nl_max_cols_s,
-                    block=nl_block, sort_cell=self._nl_sort_cell)
+                    block=nl_block, sort_cell=self._nl_sort_cell,
+                    col_cap=self._nl_col_cap)
+                if use_zslab:
+                    from ..ops import pme_zslab
+                    zst = pme_zslab.build_z_state(pos, box, charge,
+                                                  pme_grid, zslab_cfg)
+                    zov = zst.pop("overflow")
+                    st["pme"] = zst
+                    st["overflow"] = st["overflow"] + zov
+                return st
             return pairs_mod.build_row_state(
                 pos_pad, box, n, cutoff + nl_skin, nl_max_cols_s,
                 block=nl_block, periodic=periodic,
@@ -862,7 +906,13 @@ class NonbondedForce(Force):
                 if "disp_coeff" in p:
                     e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
                 if include_recip:
-                    e = e + reciprocal_energy(pos, box, p, gp)
+                    if use_zslab:
+                        # the grid term is computed analytically below; only
+                        # the (position-independent) self term remains here
+                        ch, _, _ = effective_particle_params(p, gp)
+                        e = e + pme_mod.ewald_self_energy(ch, alpha, accum)
+                    else:
+                        e = e + reciprocal_energy(pos, box, p, gp)
                 return e
 
             def ef(pos, box, p, gp, aux=None):
@@ -873,6 +923,15 @@ class NonbondedForce(Force):
                     st = aux["st"]
                     overflow = aux["overflow"]
                 e_d, f = direct_ef_from_state(pos, box, p, gp, st)
+                if include_recip and use_zslab:
+                    from ..ops import pme_zslab
+                    ch, _, _ = effective_particle_params(p, gp)
+                    e_z, f_z = pme_zslab.pme_recip_ef(
+                        pos, ch, box, pme_grid, 5, alpha,
+                        pme_data["bsq_x"], pme_data["bsq_y"],
+                        pme_data["bsq_z"], st["pme"], zslab_cfg)
+                    e_d = e_d + e_z.astype(accum)
+                    f = f + f_z
                 # capacity overflow poisons BOTH energy and forces:
                 # integrators consume only forces, and silently truncated
                 # pair lists must never yield a finite (corrupt) trajectory

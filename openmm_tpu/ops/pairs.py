@@ -250,15 +250,26 @@ def spatial_sort_keys(pos, box, n_real, cell_size, brick=True):
     n_pad = pos.shape[0]
     if brick:
         cell_size = 0.5 * cell_size
-    inv = 1.0 / cell_size
     wrapped = geom.wrap_into_box(pos, box)
-    c = jnp.floor(wrapped * inv).astype(jnp.int32)
-    # cell counts from the box are traced values; clip indices to range
-    ncy = jnp.maximum(jnp.floor(box[1, 1] * inv).astype(jnp.int32), 1)
-    ncz = jnp.maximum(jnp.floor(box[2, 2] * inv).astype(jnp.int32), 1)
-    cx = jnp.maximum(c[:, 0], 0)
-    cy = jnp.clip(c[:, 1], 0, ncy - 1)
-    cz = jnp.clip(c[:, 2], 0, ncz - 1)
+    # per-axis EXACT tiling: round the cell count and stretch the cells to
+    # cover the box, so no thin sliver cell collects a box-spanning slab of
+    # atoms (which would blow up that block's bounding box); with bricks the
+    # count must be EVEN so no half-width brick column remains at the edge
+    quantum = 2 if brick else 1
+
+    def ncells(width):
+        return quantum * jnp.maximum(
+            jnp.round(width / (quantum * cell_size)).astype(jnp.int32), 1)
+
+    ncx = ncells(box[0, 0])
+    ncy = ncells(box[1, 1])
+    ncz = ncells(box[2, 2])
+    cx = jnp.clip(jnp.floor(
+        wrapped[:, 0] * (ncx / box[0, 0])).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip(jnp.floor(
+        wrapped[:, 1] * (ncy / box[1, 1])).astype(jnp.int32), 0, ncy - 1)
+    cz = jnp.clip(jnp.floor(
+        wrapped[:, 2] * (ncz / box[2, 2])).astype(jnp.int32), 0, ncz - 1)
     if brick:
         bx, ox = cx // 2, cx % 2
         by, oy = cy // 2, cy % 2

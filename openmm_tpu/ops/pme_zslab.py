@@ -1,0 +1,489 @@
+"""Forward-only smooth-PME reciprocal space with z-slab sparsity (TPU).
+
+The dense scatter-free spread of ops/pme.py pays ~G^3/125x the FLOPs of the
+reference's sparse scatter (platforms/common/src/kernels/pme.cc:64-616) to
+stay off XLA's serialized scatter path, and obtains forces by differentiating
+the whole pipeline (a second, transposed dense pass). This module removes
+both costs:
+
+* Atoms are kept Z-SORTED (per grid plane of the mesh). A grid plane z only
+  receives charge from atoms whose 5-plane B-spline support touches it —
+  a contiguous window of the z-sorted array (7 grid cells wide, including a
+  +-1-cell drift margin). Spreading becomes one small MXU matmul per plane:
+  Q[z] = A_win^T @ (Wy_win * wz), an ~8x FLOP cut at DHFR scale.
+* Forces are computed ANALYTICALLY in a second kernel: per z-sorted atom
+  chunk, the convolved potential planes covering the chunk's support are
+  contracted with the B-spline derivative weights (the reference's
+  gridInterpolateForce pass, pme.cc:506), so there is no reverse-mode
+  re-execution of the pipeline.
+
+The z-order and per-plane window offsets persist across steps in the
+Context aux (rebuilt together with the direct-space neighbor state; the
+motion predicate's skin/2 bound is tighter than the one-cell drift margin
+used here). Between the two kernels the 3-D DFT + reciprocal-space
+convolution run as dense (56-sized) matmul DFTs on the MXU.
+
+Weight convention matches ops/pme.bspline_weights: weight j of an atom
+belongs to grid index floor(u) + j - (order-1); dM_n/du = M_{n-1}(u) -
+M_{n-1}(u-1) gives the derivative weights from the order-(n-1) recursion.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import ONE_4PI_EPS0
+
+CHUNK = 256          # atoms per kernel chunk (K1 window step, K2 grid row)
+PWIN_BLOCKS = 3      # K2 potential window: 3 blocks of 4 planes = 12 planes
+ZPAD = 8             # circular z padding of the potential planes
+
+
+def zslab_config(n, grid, margin=1.25):
+    """Static sizing for the z-slab machinery."""
+    nx, ny, nz = grid
+    n_p = ((n + CHUNK - 1) // CHUNK) * CHUNK
+    win_est = int(n * 7.0 / nz * margin) + CHUNK
+    cap = ((win_est + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
+    cap = min(cap, n_p + CHUNK)
+    # circular-extended array: REAL sorted atoms (n, unpadded — any padding
+    # gap between the real tail and the wrap copy would break window
+    # contiguity) + the first cap entries again + zero tail to a chunk
+    # multiple
+    n_ext = ((n + cap + CHUNK - 1) // CHUNK) * CHUNK
+    # K2 potential window: a chunk's atoms span ~CHUNK*nz/n planes; cover
+    # the 5-plane support + drift margin, rounded to 4-plane blocks
+    span_est = int(math.ceil(CHUNK * nz / max(n, 1))) + 2
+    pwin_planes = ((span_est + 5 + 3 + 3) // 4) * 4
+    pwin_planes = min(pwin_planes, ((nz + 15) // 4) * 4)
+    return {
+        "n": n, "n_p": n_p, "cap": cap, "n_ext": n_ext,
+        "grid": tuple(grid), "nxp": 64 if nx <= 64 else _pad8(nx),
+        "nyp": 64 if ny <= 64 else _pad8(ny),
+        "pwin_planes": pwin_planes, "pwin_blocks": pwin_planes // 4,
+    }
+
+
+def _pad8(x):
+    return ((x + 7) // 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# B-spline weights + derivatives (order 5)
+# ---------------------------------------------------------------------------
+def bspline_w_dw(t, order):
+    """(weights, dweights) of shape (..., order).
+
+    weights[..., j] = M_order at the grid point base + j - (order-1);
+    dweights = d(weights)/du (u the fractional grid coordinate).
+    """
+    shape = t.shape
+    w = [jnp.zeros(shape, t.dtype) for _ in range(order)]
+    w[0] = 1.0 - t
+    w[1] = t
+    for k in range(3, order):
+        div = 1.0 / (k - 1)
+        new = [None] * order
+        new[k - 1] = div * t * w[k - 2]
+        for j in range(1, k - 1):
+            new[k - 1 - j] = div * ((t + j) * w[k - 2 - j]
+                                    + (k - j - t) * w[k - 1 - j])
+        new[0] = div * (1.0 - t) * w[0]
+        for j in range(k):
+            w[j] = new[j]
+    # w now holds order-(n-1) weights in slots [0, order-2]; differentiate,
+    # then run the final recursion step.
+    # With w_n[j] = M_n(t + n-1-j): dM_n(t+m)/dt = M_{n-1}(t+m) - M_{n-1}(t+m-1)
+    # => dw_n[j] = w_{n-1}[j-1] - w_{n-1}[j]  (w_{n-1}[-1] := 0)
+    dw = [None] * order
+    for j in range(order):
+        hi = w[j - 1] if j - 1 >= 0 else jnp.zeros(shape, t.dtype)
+        lo = w[j] if j <= order - 2 else jnp.zeros(shape, t.dtype)
+        dw[j] = hi - lo
+    k = order
+    div = 1.0 / (k - 1)
+    new = [None] * order
+    new[k - 1] = div * t * w[k - 2]
+    for j in range(1, k - 1):
+        new[k - 1 - j] = div * ((t + j) * w[k - 2 - j]
+                                + (k - j - t) * w[k - 1 - j])
+    new[0] = div * (1.0 - t) * w[0]
+    return jnp.stack(new, axis=-1), jnp.stack(dw, axis=-1)
+
+
+def _dense_axis(w, base, offs_minus, n_axis, n_padded):
+    """Expand (N, order) weights into dense (N, n_padded) lane planes."""
+    order = w.shape[-1]
+    g = jnp.mod(base[:, None] + jnp.arange(order, dtype=jnp.int32)[None, :]
+                - offs_minus, n_axis)                     # (N, order)
+    onehot = (g[:, :, None]
+              == jnp.arange(n_padded, dtype=jnp.int32)[None, None, :])
+    return jnp.sum(w[:, :, None] * onehot, axis=1)        # (N, n_padded)
+
+
+# ---------------------------------------------------------------------------
+# Persistent z-state
+# ---------------------------------------------------------------------------
+def build_z_state(pos, box, charges, grid, cfg):
+    """Z-sort + per-plane window offsets (persists across steps)."""
+    from . import geometry as geom
+    nx, ny, nz = grid
+    n, n_p, cap = cfg["n"], cfg["n_p"], cfg["cap"]
+    binv = geom.box_inverse(box).astype(jnp.float32)
+    frac = geom.to_fractional(pos.astype(jnp.float32), binv)
+    fz = frac[:, 2] - jnp.floor(frac[:, 2])
+    cell = jnp.clip(jnp.floor(fz * nz).astype(jnp.int32), 0, nz - 1)
+    key = cell
+    if n_p > pos.shape[0]:
+        key = jnp.concatenate(
+            [key, jnp.full((n_p - pos.shape[0],), nz, jnp.int32)])
+    zorder = jnp.argsort(key).astype(jnp.int32)           # (n_p,)
+    inv_zorder = jnp.argsort(zorder).astype(jnp.int32)
+    cell_p = key[zorder]                                  # sorted cells
+    # padding entries take the last real cell so chunk spans stay tight
+    cell_p = jnp.where(cell_p >= nz, cell_p[n - 1] if n > 0 else 0, cell_p)
+
+    hist = jnp.zeros(nz, jnp.int32).at[jnp.clip(cell, 0, nz - 1)].add(
+        (jnp.arange(pos.shape[0]) < n).astype(jnp.int32))
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(hist, dtype=jnp.int32)])
+    # window of plane z: sorted cells z-1 .. z+5 (circular)
+    zs = jnp.arange(nz)
+    start = jnp.where(zs >= 1, cum[zs - 1], cum[nz - 1])  # (nz,)
+    length = jnp.zeros(nz, jnp.int32)
+    for dshift in range(-1, 6):
+        length = length + jnp.roll(hist, -dshift)
+    overflow = jnp.sum(jnp.maximum(length - (cap - CHUNK), 0))
+    sq = start // CHUNK
+    nwin = (start + length - sq * CHUNK + CHUNK - 1) // CHUNK
+    # extended index array: REAL sorted atoms + circular wrap copy + a
+    # dummy tail (index n_p - 1, whose per-step feature rows are zeroed)
+    n_ext = cfg["n_ext"]
+    zreal = zorder[:n] if n < n_p else zorder
+    zorder_ext = jnp.concatenate([zreal, zreal[:cap]])
+    if zorder_ext.shape[0] < n_ext:
+        zorder_ext = jnp.concatenate(
+            [zorder_ext, jnp.full((n_ext - zorder_ext.shape[0],),
+                                  n_p - 1, jnp.int32)])
+    else:
+        zorder_ext = zorder_ext[:n_ext]
+    # K2 chunk plane windows need the BUILD cell to unwrap seam-crossing
+    # drift (see pme_recip_ef)
+    return {"zorder": zorder, "inv_zorder": inv_zorder,
+            "zorder_ext": zorder_ext, "cell_build": cell_p,
+            "sq": sq.astype(jnp.int32), "nwin": nwin.astype(jnp.int32),
+            "overflow": overflow.astype(jnp.int32)}
+
+
+# ---------------------------------------------------------------------------
+# DFT + convolution (dense matmul DFTs on the MXU)
+# ---------------------------------------------------------------------------
+def _dft_mats(n, dtype=np.float64):
+    kk = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(kk, kk) / n
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats_cached(n):
+    wr, wi = _dft_mats(n, np.float32)
+    return wr, wi
+
+
+def _apply_dft(re, im, n_axis, axis, inverse=False):
+    """One axis of a complex DFT via two real matmuls per component."""
+    HIGH = jax.lax.Precision.HIGHEST
+    wr_np, wi_np = _dft_mats_cached(n_axis)
+    wr = jnp.asarray(wr_np)
+    wi = jnp.asarray(-wi_np if inverse else wi_np)
+    re2 = jnp.tensordot(wr, re, axes=([1], [axis]), precision=HIGH) \
+        - jnp.tensordot(wi, im, axes=([1], [axis]), precision=HIGH)
+    im2 = jnp.tensordot(wr, im, axes=([1], [axis]), precision=HIGH) \
+        + jnp.tensordot(wi, re, axes=([1], [axis]), precision=HIGH)
+    return jnp.moveaxis(re2, 0, axis), jnp.moveaxis(im2, 0, axis)
+
+
+def convolve_potential(Q, box, grid, alpha, bsq_x, bsq_y, bsq_z):
+    """(phi, E): E = sum_m Ktilde |F|^2 and phi the convolved potential.
+
+    Q: (nz, nx, ny) real charge grid. Ktilde folds the Ewald Green's
+    function, the B-spline moduli, and ONE_4PI_EPS0/(2 pi V). phi is the
+    UNNORMALIZED inverse transform of Ktilde*F, so dE/dQ(r) = 2 phi(r)
+    feeds the force interpolation directly.
+    """
+    from . import geometry as geom
+    nx, ny, nz = grid
+    f32 = jnp.float32
+    box_inv = geom.box_inverse(box)
+    vol = geom.box_volume(box).astype(f32)
+
+    re, im = Q, jnp.zeros_like(Q)
+    re, im = _apply_dft(re, im, nz, 0)
+    re, im = _apply_dft(re, im, nx, 1)
+    re, im = _apply_dft(re, im, ny, 2)
+
+    mx = jnp.fft.fftfreq(nx, 1.0 / nx).astype(f32)
+    my = jnp.fft.fftfreq(ny, 1.0 / ny).astype(f32)
+    mz = jnp.fft.fftfreq(nz, 1.0 / nz).astype(f32)
+    bi = box_inv.astype(f32)
+    # reciprocal vectors for the (z, x, y) grid layout
+    kv = (mz[:, None, None, None] * bi.T[None, None, None, 2, :]
+          + mx[None, :, None, None] * bi.T[None, None, None, 0, :]
+          + my[None, None, :, None] * bi.T[None, None, None, 1, :])
+    m2 = jnp.sum(kv * kv, axis=-1)
+    m2_safe = jnp.where(m2 > 0, m2, 1.0)
+    kern = jnp.exp(-(jnp.pi ** 2) * m2_safe / (alpha ** 2)) / m2_safe
+    kern = jnp.where(m2 > 0, kern, 0.0)
+    B = (bsq_z[:, None, None] * bsq_x[None, :, None]
+         * bsq_y[None, None, :]).astype(f32)
+    Kt = (ONE_4PI_EPS0 / (2.0 * jnp.pi * vol)) * kern * B
+
+    energy = jnp.sum(Kt * (re * re + im * im))
+    re, im = Kt * re, Kt * im
+    re, im = _apply_dft(re, im, nz, 0, inverse=True)
+    re, im = _apply_dft(re, im, nx, 1, inverse=True)
+    re, im = _apply_dft(re, im, ny, 2, inverse=True)
+    # UNNORMALIZED inverse: dE/dQ(r) = 2 * sum_m Kt F exp(+2pi i m r / G),
+    # exactly what the force interpolation consumes (no 1/G^3)
+    return re, energy
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+def _spread_kernel(sq_ref, nwin_ref, a_ref, wy_ref, wzb_ref, out_ref, *, nz):
+    import jax.experimental.pallas as pl
+    z = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    @pl.when(c < nwin_ref[z])
+    def _():
+        b = wzb_ref[:, 5:6]                               # current base (f32)
+        r = (jnp.float32(0.0) + z) - b + 4.0
+        r = jnp.where(r < 0, r + nz, r)
+        r = jnp.where(r >= nz, r - nz, r)
+        wz = (wzb_ref[:, 0:1] * (r == 0) + wzb_ref[:, 1:2] * (r == 1)
+              + wzb_ref[:, 2:3] * (r == 2) + wzb_ref[:, 3:4] * (r == 3)
+              + wzb_ref[:, 4:5] * (r == 4))
+        d = wy_ref[...] * wz
+        out_ref[0] = out_ref[0] + jax.lax.dot_general(
+            a_ref[...], d, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _gather_kernel(pq_ref, phi_ref, wx_ref, dwx_ref, wy_ref, dwy_ref,
+                   wzb_ref, dwzb_ref, out_ref):
+    import jax.experimental.pallas as pl
+    c = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    b = wzb_ref[:, 5:6]                                   # unwrapped base
+    acc_gx = jnp.zeros((wx_ref.shape[0], 1), jnp.float32)
+    acc_gy = jnp.zeros_like(acc_gx)
+    acc_gz = jnp.zeros_like(acc_gx)
+    acc_e = jnp.zeros_like(acc_gx)
+    for pp in range(4):
+        plane_abs = (pq_ref[c] + p) * 4 + pp - ZPAD       # unwrapped plane
+        r = (jnp.float32(0.0) + plane_abs) - b + 4.0
+        sel = [(r == k).astype(jnp.float32) for k in range(5)]
+        wz = sum(wzb_ref[:, k:k + 1] * sel[k] for k in range(5))
+        dwz = sum(dwzb_ref[:, k:k + 1] * sel[k] for k in range(5))
+        ph = phi_ref[pp]                                  # (nxp, nyp)
+        t_w = jax.lax.dot_general(
+            wx_ref[...], ph, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (C, nyp)
+        t_dx = jax.lax.dot_general(
+            dwx_ref[...], ph, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        wy = wy_ref[...]
+        s1 = jnp.sum(t_w * wy, axis=1, keepdims=True)
+        acc_gx = acc_gx + wz * jnp.sum(t_dx * wy, axis=1, keepdims=True)
+        acc_gy = acc_gy + wz * jnp.sum(t_w * dwy_ref[...], axis=1,
+                                       keepdims=True)
+        acc_gz = acc_gz + dwz * s1
+        acc_e = acc_e + wz * s1
+    upd = jnp.concatenate(
+        [acc_gx.T, acc_gy.T, acc_gz.T, acc_e.T,
+         jnp.zeros((4, acc_gx.shape[0]), jnp.float32)], axis=0)
+    out_ref[0] = out_ref[0] + upd
+
+
+# ---------------------------------------------------------------------------
+# Top-level forward
+# ---------------------------------------------------------------------------
+def pme_recip_ef(pos, charges, box, grid, order, alpha, bsq_x, bsq_y, bsq_z,
+                 zstate, cfg, interpret=False):
+    """Reciprocal-space PME (energy, forces) — forward only, f32.
+
+    pos: (n, 3) raw positions; zstate from build_z_state; bsq_*: B-spline
+    moduli (device arrays). Returns (energy f32 scalar, forces (n, 3)).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import geometry as geom
+
+    nx, ny, nz = grid
+    assert order == 5, "z-slab PME implements the reference's order 5"
+    n, n_p, cap, n_ext = cfg["n"], cfg["n_p"], cfg["cap"], cfg["n_ext"]
+    nxp, nyp = cfg["nxp"], cfg["nyp"]
+    f32 = jnp.float32
+
+    binv = geom.box_inverse(box).astype(f32)
+    posf = pos.astype(f32)
+    frac = geom.to_fractional(posf, binv)
+    frac = frac - jnp.floor(frac)
+    u = frac * jnp.array([nx, ny, nz], f32)
+    base = jnp.floor(u)
+    t = u - base
+    base = base.astype(jnp.int32)
+    wx5, dwx5 = bspline_w_dw(t[:, 0], order)
+    wy5, dwy5 = bspline_w_dw(t[:, 1], order)
+    wz5, dwz5 = bspline_w_dw(t[:, 2], order)
+
+    q = charges.astype(f32)
+    Wx = _dense_axis(wx5, base[:, 0], order - 1, nx, nxp)   # (n, nxp)
+    dWx = _dense_axis(dwx5, base[:, 0], order - 1, nx, nxp)
+    Wy = _dense_axis(wy5, base[:, 1], order - 1, ny, nyp)
+    dWy = _dense_axis(dwy5, base[:, 1], order - 1, ny, nyp)
+    A = q[:, None] * Wx
+
+    def padrows(x, rows, fill=0.0):
+        if x.shape[0] >= rows:
+            return x[:rows]
+        pad = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    bz = base[:, 2]
+    # K1 (spread): circular-extended z-sorted arrays; plane selection uses
+    # the CURRENT base with mod-nz arithmetic, so seam drift needs no unwrap
+    zx = zstate["zorder_ext"]                              # (n_ext,)
+    A_e = padrows(A, n_p)[zx]
+    Wy_e = padrows(Wy, n_p)[zx]
+    wzb = jnp.concatenate(
+        [wz5, bz[:, None].astype(f32), jnp.zeros((pos.shape[0], 2), f32)],
+        axis=1)                                            # (n, 8)
+    wzb_e = padrows(wzb, n_p)[zx]
+
+    nwin_max = cap // CHUNK
+    grid_k1 = (nz, nwin_max)
+    Q = pl.pallas_call(
+        functools.partial(_spread_kernel, nz=nz),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid_k1,
+            in_specs=[
+                # zeros derived from grid coords stay i32 under x64
+                pl.BlockSpec((CHUNK, nxp),
+                             lambda z, c, sq, nw: (sq[z] + c, z * 0)),
+                pl.BlockSpec((CHUNK, nyp),
+                             lambda z, c, sq, nw: (sq[z] + c, z * 0)),
+                pl.BlockSpec((CHUNK, 8),
+                             lambda z, c, sq, nw: (sq[z] + c, z * 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nxp, nyp),
+                                   lambda z, c, sq, nw: (z, z * 0, z * 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nz, nxp, nyp), f32),
+        interpret=interpret,
+    )(zstate["sq"], zstate["nwin"], A_e, Wy_e, wzb_e)
+
+    phi, energy = convolve_potential(Q[:, :nx, :ny], box, grid, alpha,
+                                     bsq_x, bsq_y, bsq_z)
+
+    # K2 (gather/forces): chunk plane windows with seam unwrap
+    pwin = cfg["pwin_planes"]
+    phi2 = 2.0 * phi
+    if nxp > nx or nyp > ny:
+        phi2 = jnp.pad(phi2, ((0, 0), (0, nxp - nx), (0, nyp - ny)))
+    ztail = pwin + ZPAD
+    reps = (ztail + nz - 1) // nz
+    phi_top = jnp.concatenate([phi2] * reps)[:ztail] if reps > 1 \
+        else phi2[:ztail]
+    phi_ext = jnp.concatenate([phi2[nz - ZPAD:], phi2, phi_top])
+    # pad so the plane-block grid dimension divides evenly
+    zblocks = (phi_ext.shape[0] + 3) // 4
+    phi_ext = jnp.pad(phi_ext, ((0, zblocks * 4 - phi_ext.shape[0]),
+                                (0, 0), (0, 0)))
+
+    cell_b = zstate["cell_build"]                          # (n_p,) sorted
+    bz_p = bz if n_p == pos.shape[0] else jnp.concatenate(
+        [bz, jnp.zeros((n_p - pos.shape[0],), bz.dtype)])
+    bz_s = bz_p[zstate["zorder"]]
+    if n < n_p:
+        # padding slots sort last; give them the sorted-last real base so
+        # chunk spans and window minima stay tight
+        bz_s = bz_s.at[n:].set(bz_s[n - 1])
+    # unwrap current base against the build cell (seam-crossing drift)
+    d = cell_b - bz_s
+    bz_u = bz_s + nz * jnp.round(d.astype(f32) / nz).astype(jnp.int32)
+    nchunks = n_p // CHUNK
+    bz_c = bz_u.reshape(nchunks, CHUNK)
+    pq = ((jnp.min(bz_c, axis=1) - 4 + ZPAD) // 4).astype(jnp.int32)
+    # a chunk whose plane span outgrew the window poisons the result
+    # (same honest-failure channel as neighbor-list overflow)
+    span_bad = jnp.any((jnp.max(bz_c, axis=1) - jnp.min(bz_c, axis=1))
+                       > pwin - 8)
+
+    Wx_s = padrows(Wx, n_p)[zstate["zorder"]]
+    dWx_s = padrows(dWx, n_p)[zstate["zorder"]]
+    dWy_s = padrows(dWy, n_p)[zstate["zorder"]]
+    wzb_u = jnp.concatenate(
+        [wz5, jnp.zeros((pos.shape[0], 3), f32)], axis=1)
+    wzb_u = padrows(wzb_u, n_p)[zstate["zorder"]]
+    wzb_u = wzb_u.at[:, 5].set(bz_u.astype(f32))
+    dwzb = jnp.concatenate(
+        [dwz5, jnp.zeros((pos.shape[0], 3), f32)], axis=1)
+    dwzb = padrows(dwzb, n_p)[zstate["zorder"]]
+
+    def aspec():
+        return pl.BlockSpec((CHUNK, nxp), lambda c, p, pq: (c, c * 0))
+
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nchunks, cfg["pwin_blocks"]),
+            in_specs=[
+                pl.BlockSpec((4, nxp, nyp),
+                             lambda c, p, pq: (pq[c] + p, c * 0, c * 0)),
+                aspec(),                                   # Wx
+                aspec(),                                   # dWx
+                pl.BlockSpec((CHUNK, nyp), lambda c, p, pq: (c, c * 0)),
+                pl.BlockSpec((CHUNK, nyp), lambda c, p, pq: (c, c * 0)),
+                pl.BlockSpec((CHUNK, 8), lambda c, p, pq: (c, c * 0)),
+                pl.BlockSpec((CHUNK, 8), lambda c, p, pq: (c, c * 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, CHUNK),
+                                   lambda c, p, pq: (c, c * 0, c * 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nchunks, 8, CHUNK), f32),
+        interpret=interpret,
+    )(pq, phi_ext, Wx_s, dWx_s,
+      padrows(Wy, n_p)[zstate["zorder"]], dWy_s, wzb_u, dwzb)
+
+    gx = out[:, 0, :].reshape(n_p)[zstate["inv_zorder"]][:n]
+    gy = out[:, 1, :].reshape(n_p)[zstate["inv_zorder"]][:n]
+    gz = out[:, 2, :].reshape(n_p)[zstate["inv_zorder"]][:n]
+    # chain rule: u_a = n_a * frac_a, dfrac_a/dpos_k = binv[k, a]
+    bi = binv
+    fx = -(gx * nx * bi[0, 0]) * q
+    fy = -(gx * nx * bi[1, 0] + gy * ny * bi[1, 1]) * q
+    fz = -(gx * nx * bi[2, 0] + gy * ny * bi[2, 1] + gz * nz * bi[2, 2]) * q
+    forces = jnp.stack([fx, fy, fz], axis=-1).astype(pos.dtype)
+    poison = jnp.where(span_bad, jnp.nan, 0.0)
+    return energy + poison, forces + poison.astype(forces.dtype)

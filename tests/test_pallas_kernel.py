@@ -10,18 +10,25 @@ from openmm_tpu.ops import pallas_pairs as PP
 
 ONE4PI = 138.93545764446428
 ALPHA = 3.12341
-CUTOFF = 0.9
+CUTOFF = 0.7
 KRF = (1.0 / CUTOFF ** 3) * (78.3 - 1.0) / (2.0 * 78.3 + 1.0)
 CRF = (1.0 / CUTOFF) * 3.0 * 78.3 / (2.0 * 78.3 + 1.0)
 
 
-def water_like(n_mol=200, seed=4):
+def water_like(n_mol=1728, seed=4):
+    # box width must satisfy the compacted-column engine's one-image
+    # condition: box/2 >= cutoff + block extent (see pallas_pairs docstring)
     rng = np.random.RandomState(seed)
     n = 3 * n_mol
     n_pad = ((n + 63) // 64) * 64
-    box = np.diag([2.4, 2.4, 2.4]).astype(np.float32)
+    box = np.diag([3.8, 3.8, 3.8]).astype(np.float32)
     pos = np.zeros((n_pad, 3), np.float32)
-    centers = rng.rand(n_mol, 3) * 2.4
+    # jittered lattice: realistic uniform density (clustered random placement
+    # has unbounded per-block neighbor counts)
+    side = int(np.ceil(n_mol ** (1.0 / 3.0)))
+    g = (np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
+                  axis=-1).reshape(-1, 3)[:n_mol] + 0.5) * (3.8 / side)
+    centers = g + rng.uniform(-0.08, 0.08, size=(n_mol, 3))
     for m in range(n_mol):
         pos[3 * m] = centers[m]
         pos[3 * m + 1] = centers[m] + [0.09572, 0, 0]
@@ -82,13 +89,13 @@ def test_pallas_matches_row_kernel(mode):
                 "epsilon": jnp.asarray(eps)}
     e1, f1, o1 = P.pair_energy_force_rows(
         jnp.asarray(pos), jnp.asarray(box), xla_ef(mode), per_atom,
-        jnp.asarray(excl), n, CUTOFF, max_cols=27, block=64, periodic=True,
-        sort_cell=0.8)
+        jnp.asarray(excl), n, CUTOFF, max_cols=64, block=64, periodic=True,
+        sort_cell=0.7)
     e2, f2, o2 = PP.direct_ef_pallas(
         jnp.asarray(pos), jnp.asarray(box), jnp.asarray(q), jnp.asarray(sig),
-        jnp.asarray(eps), jnp.asarray(excl), n, CUTOFF, max_cols=27,
-        mode=mode, alpha=ALPHA, krf=KRF, crf=CRF, sort_cell=0.8,
-        interpret=True)
+        jnp.asarray(eps), jnp.asarray(excl), n, CUTOFF, max_cols=64,
+        mode=mode, alpha=ALPHA, krf=KRF, crf=CRF, sort_cell=0.7,
+        col_cap=2048, interpret=True)
     assert int(o1) == int(o2) == 0
     assert abs(float(e1 - e2)) < 1e-4 * max(1.0, abs(float(e1)))
     f1 = np.asarray(f1)[:n]

@@ -1,7 +1,8 @@
 """Probe the Pallas direct-space kernel: where does the time go?
 
-Variants: full Ewald math / plain 1/r math / DMA-only skeleton, at different
-cols-per-tile, measured with an in-jit fori_loop to amortize the axon RPC.
+Variants: full Ewald math / plain 1/r math, plus build cost and the
+per-step refresh overhead, measured with an in-jit fori_loop to amortize
+the axon RPC.
 """
 import os
 import sys
@@ -25,10 +26,13 @@ def tloop(f, *args):
     jf = jax.jit(f)
     y = jf(*args)
     np.asarray(jax.tree_util.tree_leaves(y)[0].ravel()[0])
-    t0 = time.perf_counter()
-    y = jf(*args)
-    np.asarray(jax.tree_util.tree_leaves(y)[0].ravel()[0])
-    return (time.perf_counter() - t0) / R * 1e3
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = jf(*args)
+        np.asarray(jax.tree_util.tree_leaves(y)[0].ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / R * 1e3)
+    return best
 
 
 def main():
@@ -41,37 +45,46 @@ def main():
     pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
     q = jnp.tile(jnp.asarray([-0.834, 0.417, 0.417], jnp.float32), n_w)
     q = jnp.zeros(n_pad, jnp.float32).at[:n].set(q)
-    sig = jnp.zeros(n_pad, jnp.float32).at[0:n:3].set(0.315).at[1:n:3].set(1.0).at[2:n:3].set(1.0)
+    sig = jnp.zeros(n_pad, jnp.float32).at[0:n:3].set(0.315) \
+        .at[1:n:3].set(1.0).at[2:n:3].set(1.0)
     eps = jnp.zeros(n_pad, jnp.float32).at[0:n:3].set(0.636)
     excl = np.full((n_pad, 4), -1, np.int32)
     for m in range(n_w):
-        excl[3*m, :2] = [3*m+1, 3*m+2]
-        excl[3*m+1, :2] = [3*m, 3*m+2]
-        excl[3*m+2, :2] = [3*m, 3*m+1]
+        excl[3 * m, :2] = [3 * m + 1, 3 * m + 2]
+        excl[3 * m + 1, :2] = [3 * m, 3 * m + 2]
+        excl[3 * m + 2, :2] = [3 * m, 3 * m + 1]
     excl = jnp.asarray(excl)
     vol = float(box[0, 0] * box[1, 1] * box[2, 2])
     block_side = (64 * vol / n) ** (1.0 / 3.0)
     cutoff, skin = 0.9, 0.1
     reach = cutoff + skin
     nb = n_pad // 64
-    neigh = (nb / vol) * (4.0/3.0) * np.pi * (reach + 1.85*block_side) ** 3
+    neigh = (nb / vol) * (4.0 / 3.0) * np.pi * (reach + 1.85 * block_side) ** 3
     max_cols = min(nb, int(neigh * 1.6) + 4)
-    print("nb=%d max_cols=%d" % (nb, max_cols))
+    rho = n / vol
+    s, rr = block_side, reach
+    vol_dil = (2.0 * s ** 3 + 2.0 * rr * (5.0 * s * s)
+               + np.pi * rr * rr * (4.0 * s)
+               + (4.0 / 3.0) * np.pi * rr ** 3)
+    col_cap = int(-(-(rho * vol_dil * 1.25) // 128) * 128)
+    print("nb=%d max_cols=%d col_cap=%d" % (nb, max_cols, col_cap))
 
     st = jax.jit(lambda p: pp.build_tile_state(
         p, box, q, sig, eps, excl, n, reach, max_cols,
-        sort_cell=block_side))(pos_pad)
-    cv = np.asarray(st["cand"][:, -1])
-    print("nvalid mean %.1f max %d of %d" % (cv.mean(), cv.max(),
-                                             st["cand"].shape[1]-1))
+        sort_cell=block_side, col_cap=col_cap))(pos_pad)
+    cnt = np.asarray(st["count"])
+    print("count mean %.0f max %d of %d  overflow %d"
+          % (cnt.mean(), cnt.max(), col_cap, int(st["overflow"])))
 
     def build_loop(p):
         def body(i, p):
-            s = pp.build_tile_state(p, box, q, sig, eps, excl, n, reach,
-                                    max_cols, sort_cell=block_side)
-            return p + s["feat"][0, 0, 0] * 1e-30
+            s2 = pp.build_tile_state(p, box, q, sig, eps, excl, n, reach,
+                                     max_cols, sort_cell=block_side,
+                                     col_cap=col_cap)
+            return p + s2["row_stat"][0, 0, 0] * 1e-30
         return jax.lax.fori_loop(0, R, body, p)
-    print("build_tile_state: %.3f ms" % tloop(build_loop, pos_pad), flush=True)
+    print("build_tile_state: %.3f ms" % tloop(build_loop, pos_pad),
+          flush=True)
 
     for mode, name in ((pp.MODE_EWALD, "ewald"), (pp.MODE_PLAIN, "plain")):
         def eval_loop(p, st=st, mode=mode):
@@ -83,37 +96,24 @@ def main():
         print("eval_tiles %s: %.3f ms" % (name, tloop(eval_loop, pos_pad)),
               flush=True)
 
-    # DMA-only skeleton: monkeypatch the tile compute to a trivial reduce
+    # per-step refresh overhead alone (the XLA prologue/epilogue around the
+    # kernel): monkeypatch the kernel body to a copy
     orig = pp._tile_compute
-    def skeleton(consts_ref, row_ref, col_refs, excl_ref, out_ref, n_excl,
-                 mode, b):
-        acc = row_ref[0] * 0.0
-        for ref in col_refs:
-            acc = acc + ref[0]
-        out_ref[0] = out_ref[0] + acc
+
+    def skeleton(consts_ref, rdyn_ref, rstat_ref, cdyn_ref, cstat_ref,
+                 excl_ref, out_ref, ri, *, n_excl, mode, b):
+        acc = rdyn_ref[0, 0:1, :] + cdyn_ref[0, 0:1, 0:b]
+        out_ref[0, 0:1] = out_ref[0, 0:1] + acc
     pp._tile_compute = skeleton
+
     def skel_loop(p):
         def body(i, p):
             e, f = pp.eval_tiles(p, box, st, n, cutoff, 0, alpha=2.92)
             return p + f * 1e-30 + e * 1e-30
         return jax.lax.fori_loop(0, R, body, p)
-    print("eval_tiles skeleton (DMA-bound): %.3f ms" % tloop(skel_loop, pos_pad),
-          flush=True)
+    print("eval_tiles skeleton (DMA+refresh): %.3f ms" % tloop(
+        skel_loop, pos_pad), flush=True)
     pp._tile_compute = orig
-
-    # per-step order/gather overhead alone (wrap+sort+feat set, no kernel)
-    from openmm_tpu.ops import geometry as geom
-    def gath_loop(p):
-        def body(i, p):
-            pw = geom.wrap_into_box(p, box)
-            ps = pw[st["order"]]
-            feat = st["feat"].at[:nb, 0].set(ps[:, 0].reshape(nb, 64))
-            feat = feat.at[:nb, 1].set(ps[:, 1].reshape(nb, 64))
-            feat = feat.at[:nb, 2].set(ps[:, 2].reshape(nb, 64))
-            f2 = feat[:nb, 0:3].reshape(3, n_pad).T[st["inv_order"]]
-            return p + f2 * 1e-30
-        return jax.lax.fori_loop(0, R, body, p)
-    print("per-step wrap+sort-gather+feat+invgather: %.3f ms" % tloop(gath_loop, pos_pad))
 
 
 if __name__ == "__main__":

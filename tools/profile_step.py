@@ -78,7 +78,8 @@ def main():
         return pp.direct_ef_pallas(pos_pad, box, qpad, spad, epad, exclusions,
                                    n, nb._cutoff, max_cols=nb._nl_max_cols,
                                    mode=pp.MODE_EWALD, alpha=alpha,
-                                   sort_cell=nb._nl_sort_cell)
+                                   sort_cell=nb._nl_sort_cell,
+                                   col_cap=getattr(nb, "_nl_col_cap", None))
 
     print("pallas direct alone: %.3f ms" % timeit(jax.jit(direct), state["positions"], state["box"]))
 
@@ -108,7 +109,7 @@ def main():
     # integrator-only cost
     import copy
     deps0 = copy.copy(deps)
-    deps0.force_fn = lambda pos, box, pl, gp: (jnp.zeros((), jnp.float32), jnp.zeros_like(pos))
+    deps0.force_fn = lambda pos, box, pl, gp, *a: (jnp.zeros((), jnp.float32), jnp.zeros_like(pos))
     step0 = jax.jit(integ._make_step_fn(deps0))
     print("step w/ zero forces (integrator+constraints): %.3f ms" % timeit(step0, state, params))
 
