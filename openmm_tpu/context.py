@@ -272,7 +272,7 @@ class Context(object):
         # (autodiff composes the vsite chain rule; hand-written forces do not)
         allow_fast = self._vsite_update is None
 
-        def force_fn_factory(groups):
+        def force_fn_factory(groups, want_energy=True):
             def pe(pos, box, params_list, gp):
                 return potential_energy(pos, box, params_list, gp, groups)
 
@@ -285,11 +285,14 @@ class Context(object):
                 e_total = jnp.zeros((), self._accum_dtype)
                 f_total = jnp.zeros_like(pos)
                 for m, i in fast:
+                    kw = ({"want_energy": want_energy}
+                          if m.ef_takes_want_energy else {})
                     if m.needs_aux:
                         aux = None if faux is None else faux.get(str(i))
-                        e_m, f_m = m.ef_fn(pos, box, params_list[i], gp, aux)
+                        e_m, f_m = m.ef_fn(pos, box, params_list[i], gp, aux,
+                                           **kw)
                     else:
-                        e_m, f_m = m.ef_fn(pos, box, params_list[i], gp)
+                        e_m, f_m = m.ef_fn(pos, box, params_list[i], gp, **kw)
                     e_total = e_total + e_m.astype(self._accum_dtype)
                     f_total = f_total + f_m
 
@@ -311,10 +314,12 @@ class Context(object):
 
         deps._potential_energy = potential_energy
         deps._force_fn_factory = force_fn_factory
-        # all-groups closures for hooks (barostat)
-        pe_all, ef_all = force_fn_factory(-1)
+        # all-groups closures for hooks (barostat); integrator steps consume
+        # only forces, so the default force_fn skips the energy lanes
+        pe_all, _ = force_fn_factory(-1)
+        _, ef_fast = force_fn_factory(-1, want_energy=False)
         deps.energy_fn = pe_all
-        deps.force_fn = ef_all
+        deps.force_fn = ef_fast
 
         # update hooks; cache refreshers (neighbor lists) run LAST so they
         # see positions after any barostat/thermostat state mutation
@@ -348,7 +353,8 @@ class Context(object):
         """A shallow copy of deps with force_fn restricted to `groups`."""
         import copy
         deps = copy.copy(self._deps)
-        pe, ef = self._deps._force_fn_factory(groups)
+        pe, _ = self._deps._force_fn_factory(groups)
+        _, ef = self._deps._force_fn_factory(groups, want_energy=False)
         deps.force_fn = ef
         # energy_fn (used by barostat) stays all-groups semantics?  The
         # reference passes the integrator's groups to the barostat energy

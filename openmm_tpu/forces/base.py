@@ -63,6 +63,9 @@ class CompiledForce:
     # update_state_fn this must not mutate physical state — it maintains
     # derived caches (neighbor lists) only.
     refresh_fn: Optional[Callable] = None
+    # True when ef_fn accepts a want_energy keyword: integrator steps
+    # consume only forces, and the kernel can skip the energy lanes
+    ef_takes_want_energy: bool = False
 
     def _with_init_aux(self, fn):
         self.init_aux = fn

@@ -698,7 +698,8 @@ class NonbondedForce(Force):
         engine_env = os.environ.get("OMM_TPU_DIRECT", "auto")
         if use_neighbor:
             n_pad = pairs_mod.pad_to_block(n, nl_block)
-            excl_np2 = pairs_mod.build_exclusion_table(n, excl_pairs)
+            excl_np2 = pairs_mod.build_exclusion_table(n, excl_pairs,
+                                                       pad_multiple=2)
             excl_pad2 = np.full((n_pad, excl_np2.shape[1]), -1, np.int32)
             excl_pad2[:n] = excl_np2
             exclusions = jnp.asarray(excl_pad2)
@@ -744,18 +745,10 @@ class NonbondedForce(Force):
             # the Pallas engine bakes parameter planes at list build, so it
             # requires parameters that can't drift mid-trajectory via global
             # parameter offsets (the rows engine re-sorts them every step)
-            # the compacted-column engine stores ONE periodic image per
-            # column slot (chosen at build); that is exact only when no
-            # second image can fall within reach of a block's bounding box:
-            # min_box/2 >= cutoff + skin + worst block half-extent (a block
-            # can straddle two sort bricks along z, so ~1.6x the brick side)
-            min_box = min(float(box0[0][0]), float(box0[1][1]),
-                          float(box0[2][2]))
-            box_ok = min_box >= 2.05 * (cutoff + nl_skin + 1.6 * block_side)
             pallas_ok = (cfg.platform_name == "TPU"
                          and dtype == jnp.float32
                          and not use_switch and not is_ljpme
-                         and particle_offs is None and box_ok)
+                         and particle_offs is None)
             direct_engine = ("pallas" if pallas_ok else "rows") \
                 if engine_env in ("auto", "perstep") else engine_env
         else:
@@ -867,7 +860,7 @@ class NonbondedForce(Force):
                 block=nl_block, periodic=periodic,
                 sort_cell=self._nl_sort_cell)
 
-        def direct_ef_from_state(pos, box, p, gp, st):
+        def direct_ef_from_state(pos, box, p, gp, st, want_energy=True):
             """(energy, forces) of the tile sweep given a candidate state."""
             pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
             if direct_engine == "pallas":
@@ -880,7 +873,8 @@ class NonbondedForce(Force):
                     krf=(krf if (use_cutoff and not is_ewald_family)
                          else 0.0),
                     crf=(crf if (use_cutoff and not is_ewald_family)
-                         else 0.0), block=nl_block)
+                         else 0.0), block=nl_block,
+                    want_energy=want_energy)
                 return e_d.astype(accum), f_pad[:n]
             charge, sigma, eps = effective_particle_params(p, gp)
             e_d, f_pad = pairs_mod.rows_ef_from_state(
@@ -915,14 +909,15 @@ class NonbondedForce(Force):
                         e = e + reciprocal_energy(pos, box, p, gp)
                 return e
 
-            def ef(pos, box, p, gp, aux=None):
+            def ef(pos, box, p, gp, aux=None, want_energy=True):
                 if aux is None:
                     st = build_direct_state(pos, box, p, gp)
                     overflow = st["overflow"]
                 else:
                     st = aux["st"]
                     overflow = aux["overflow"]
-                e_d, f = direct_ef_from_state(pos, box, p, gp, st)
+                e_d, f = direct_ef_from_state(pos, box, p, gp, st,
+                                              want_energy=want_energy)
                 if include_recip and use_zslab:
                     from ..ops import pme_zslab
                     ch, _, _ = effective_particle_params(p, gp)
@@ -1005,6 +1000,7 @@ class NonbondedForce(Force):
                 global_defaults=self._default_global_values(),
                 ef_fn=make_direct_ef(include_recip=merged_recip
                                      and include_direct),
+                ef_takes_want_energy=use_neighbor,
                 needs_aux=init_aux is not None,
                 init_aux=init_aux, refresh_fn=refresh_fn))
         if is_ewald_family and not merged_recip:

@@ -2,34 +2,33 @@
 
 The hand-scheduled twin of pairs.rows_ef_from_state (itself the TPU recast
 of the reference's warp tile kernel, platforms/cuda/src/kernels/
-nonbonded.cu:44-106), v2: per-row-block COMPACTED ATOM COLUMN LISTS.
+nonbonded.cu:44-106), v3: BLOCK-GRANULAR candidate tiles.
 
-Instead of sweeping whole candidate 64-atom blocks (which evaluates ~14x
-more pair slots than land within the cutoff), the build phase culls the
-candidate blocks' atoms individually against each row block's bounding box
-(the finer per-atom culling of findInteractingBlocks.cu:84-180) and
-compacts the survivors into a fixed-capacity column list per row block.
-Pair-slot waste drops to the geometric floor of the shared-column design
-(~4-5x), and the kernel's inner tile is a dense (64, Ct) sweep with zero
-gather work.
+Design notes (what the TPU dictates):
+* Candidate COLUMN DATA reaches the kernel through BlockSpec index maps
+  driven by a scalar-prefetched candidate list — the DMA engine performs
+  the gather at 64-atom-block granularity. Finer granularities lose on
+  this hardware: XLA's atom-level gather runs at ~0.13 Gelem/s (a
+  (nb x C) compacted-column coordinate gather would cost ~9 ms/step at
+  DHFR scale), Mosaic's in-kernel gather cannot cross vector registers,
+  and sub-block DMA is issue-bound (~45 ns per block DMA). Block tiles
+  waste ~2.5x more pair slots than atom-compacted columns, but every
+  byte moves at full DMA speed.
+* Minimum image is the staged triclinic reduction per pair inside the
+  tile (build-time per-block-pair shifts were tried and rejected: they
+  require half_r + half_c + cutoff < box/2 for EVERY close block pair,
+  which rare tall straddling blocks violate on legal boxes).
+* Lorentz-Berthelot folding: the shared feature planes carry sqrt(k_e)*q,
+  sigma/2 and 2*sqrt(eps), so in-tile mixing is one add / one multiply.
+* Tile skipping: candidates are validity-sorted; a scalar-prefetched
+  per-row count skips the invalid tail of the sweep, so compute follows
+  the true candidate distribution, not the padded capacity.
 
-Periodic images are resolved at BUILD time: each column slot stores the
-integer lattice shift (in fractional basis) that maps its atom to the
-minimum image relative to the row block's center. Atoms move less than
-skin/2 between rebuilds, so the image choice stays valid and the kernel
-needs NO min-image math (the round()/floor() chains of the v1 kernel are
-gone); under NPT the shift vectors are re-multiplied by the current box
-each step, so box rescaling stays exact.
-
-Parameter folding: rows carry ONE_4PI_EPS0*q, sigma/2, 2*sqrt(eps);
-columns carry q, sigma/2, 2*sqrt(eps) — Lorentz-Berthelot mixing inside
-the tile is one add and one multiply.
-
-Data layout: all per-step arrays are per-axis (nb, C) / (nb, 64) planes
-built by 1-D gathers (no transposed (N,3) relayouts on the step path).
-Exclusions are (nb, E, 64) sorted-slot-id planes compared against column
-slot ids. Scalars ride in an SMEM consts row; per-row column counts are
-scalar-prefetched for tile skipping.
+Data layout: per-block feature planes (nb+1, 8, 64) f32 with rows
+[x, y, z, sqrt(k_e)q, sigma/2, 2*sqrt(eps), 0, 0]; the final block is a
+far-away dummy that invalid candidate slots point to. Exclusions are
+(nb, E, 64) sorted-slot-id planes compared against column slot ids
+(derived in-kernel from the candidate block ids).
 """
 from __future__ import annotations
 
@@ -46,13 +45,13 @@ MODE_RF = 1         # reaction field: 1/r + krf r^2 - crf
 MODE_PLAIN = 2      # plain 1/r with cutoff
 
 _TWO_OVER_SQRT_PI = 1.1283791670955126
+COLS_PER_TILE = 16
 
 
 def _erfc_poly_fast(x, exp_x2):
     """Hastings erfc with the divide replaced by an approximate VPU
     reciprocal plus one Newton step (rel. error ~1e-6, well under the
-    1.5e-7-absolute polynomial error budget scale of 1e-4 force tolerance;
-    divides cost ~10x a multiply on the VPU)."""
+    1e-4 force tolerance; divides cost ~10x a multiply on the VPU)."""
     import jax.experimental.pallas as pl
     d = 1.0 + 0.3275911 * x
     t0 = pl.reciprocal(d, approx=True)
@@ -62,43 +61,27 @@ def _erfc_poly_fast(x, exp_x2):
     return poly * exp_x2
 
 
-def _pick_ct(col_cap):
-    for ct in (512, 256, 128, 64):
-        if col_cap % ct == 0:
-            return ct
-    return 64
-
-
-def default_col_cap(max_cols, block):
-    """Fallback column capacity when the caller has no density estimate."""
-    cap = max(256, (max_cols * block) // 3)
-    return ((cap + 511) // 512) * 512
-
-
 def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
                      reach, max_cols, block=64, sort_cell=None,
                      col_cap=None):
-    """Persistent compacted-column state for the tile kernel.
+    """Persistent candidate state for the tile kernel.
 
     pos: (n_pad, 3) RAW (unwrapped) positions; charge/sigma/epsilon:
     (n_pad,) padded parameters; exclusions: (n_pad, E) int32 original-id
-    table or None; reach = cutoff + skin; col_cap: static column capacity
-    per row block (atoms). Returns a dict of device arrays (static shapes).
+    table or None; reach = cutoff + skin. col_cap is accepted for API
+    compatibility and ignored (candidates are block-granular).
+    Returns a dict of device arrays (all static shapes).
     """
     from . import geometry as geom
-    from .pairs import build_row_state, spatial_sort_keys
+    from .pairs import spatial_sort_keys
 
     n_pad = pos.shape[0]
     assert n_pad % block == 0 and block == 64
     nb = n_pad // block
     f32 = jnp.float32
-    if col_cap is None:
-        col_cap = default_col_cap(max_cols, block)
-    # capacity can never exceed the candidate pool (max_cols blocks, clamped
-    # to nb below) and must tile into ct-wide kernel sweeps
-    col_cap = int(min(col_cap, n_pad, min(max_cols, nb) * block))
-    ct = _pick_ct(col_cap)
-    col_cap = ((col_cap + ct - 1) // ct) * ct
+    max_cols = min(max_cols, nb)
+    max_cols = ((max_cols + COLS_PER_TILE - 1)
+                // COLS_PER_TILE) * COLS_PER_TILE
 
     # ---- wrap bookkeeping: pos = pos_w + W @ box with integer W
     binv = geom.box_inverse(box).astype(f32)
@@ -109,7 +92,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     W = jnp.floor(frac)                                   # (n_pad, 3)
     pos_w = posf - geom.from_fractional(W, box.astype(f32))
 
-    # ---- spatial sort + block bbox cull (block-level candidates)
+    # ---- spatial sort + block bbox cull
     if sort_cell is not None:
         keys = spatial_sort_keys(pos_w, box, n_real, sort_cell)
         order = jnp.argsort(keys).astype(jnp.int32)
@@ -127,92 +110,37 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     bmax = jnp.max(blocks, axis=1)
     centers = 0.5 * (bmin + bmax)                          # (nb, 3)
     half = 0.5 * (bmax - bmin)
-    d = centers[:, None, :] - centers[None, :, :]
+    d = centers[:, None, :] - centers[None, :, :]          # (nb, nb, 3)
     d = geom.periodic_delta(d, box)
-    gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + half[None, :, :]), 0.0)
+    gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + half[None, :, :]),
+                      0.0)
     close = jnp.sum(gap * gap, axis=-1) < reach * reach    # (nb, nb)
-    # one-image safety: a second periodic image of some atom could fall
-    # within reach of a block whose half-extent + reach exceeds box/2 on
-    # any axis; such geometry cannot be represented by per-slot shifts, so
-    # flag it through the overflow channel (caller falls back / escalates)
-    img_bad = ((half[:, 0] + reach > 0.5 * box[0, 0])
-               | (half[:, 1] + reach > 0.5 * box[1, 1])
-               | (half[:, 2] + reach > 0.5 * box[2, 2]))
+
     col_order = jnp.argsort(~close, axis=1, stable=True)
-    cand = col_order[:, :max_cols].astype(jnp.int32)       # (nb, max_cols)
-    max_cols = cand.shape[1]                               # clamped to nb
+    cand = col_order[:, :max_cols].astype(jnp.int32)       # (nb, mc)
     cand_valid = jnp.take_along_axis(close, cand, axis=1)
-    blk_overflow = (jnp.sum(close.astype(jnp.int32))
-                    - jnp.sum(cand_valid.astype(jnp.int32)))
+    count = jnp.sum(close, axis=1, dtype=jnp.int32)        # valid cands
+    overflow = (jnp.sum(close.astype(jnp.int32))
+                - jnp.sum(cand_valid.astype(jnp.int32))).astype(jnp.int32)
+    # invalid slots -> the dummy far block nb (its pairs fail the cutoff)
+    code = jnp.where(cand_valid, cand, nb).astype(jnp.int32)
 
-    # ---- atom-level culling of the candidate blocks' atoms
-    m = max_cols * block
-    offs = jnp.arange(block, dtype=jnp.int32)
-    cand_sid = (cand[:, :, None] * block + offs[None, None, :]
-                ).reshape(nb, m)                           # sorted-space ids
-    cvalid = jnp.broadcast_to(cand_valid[:, :, None],
-                              (nb, max_cols, block)).reshape(nb, m)
-    cvalid = cvalid & (cand_sid < n_real)
-
-    cpos = pos_s[cand_sid.reshape(-1)].reshape(nb, m, 3)
-    q = cpos - centers[:, None, :]
-    # staged min-image (reduced triclinic) with recorded integer shifts
-    sc = jnp.round(q[:, :, 2] / box[2, 2])
-    qx = q[:, :, 0] - sc * box[2, 0]
-    qy = q[:, :, 1] - sc * box[2, 1]
-    qz = q[:, :, 2] - sc * box[2, 2]
-    sb = jnp.round(qy / box[1, 1])
-    qx = qx - sb * box[1, 0]
-    qy = qy - sb * box[1, 1]
-    sa = jnp.round(qx / box[0, 0])
-    qx = qx - sa * box[0, 0]
-    dx = jnp.maximum(jnp.abs(qx) - half[:, 0:1], 0.0)
-    dy = jnp.maximum(jnp.abs(qy) - half[:, 1:2], 0.0)
-    dz = jnp.maximum(jnp.abs(qz) - half[:, 2:3], 0.0)
-    within = (dx * dx + dy * dy + dz * dz) < reach * reach
-    valid = cvalid & within                                # (nb, m)
-
-    # ---- compact to col_cap slots per row block
-    comp = jnp.argsort(~valid, axis=1, stable=True)[:, :col_cap]
-    col_valid = jnp.take_along_axis(valid, comp, axis=1)
-    col_sid = jnp.take_along_axis(cand_sid, comp, axis=1)  # (nb, C)
-    count = jnp.sum(valid, axis=1, dtype=jnp.int32)        # (nb,)
-    overflow = (blk_overflow
-                + jnp.sum(img_bad.astype(jnp.int32))
-                + jnp.sum(jnp.maximum(count - col_cap, 0))).astype(jnp.int32)
-
-    # per-slot combined lattice shift = wrap offset of the atom minus the
-    # min-image correction (column coords each step:
-    # raw_pos - (Wc @ box) - center_r); invalid slots are pushed far away
-    def takec(x):
-        return jnp.take_along_axis(x, comp, axis=1)
-    far = 1.0e4
-    cWa = jnp.where(col_valid, W_s[:, 0][col_sid] + takec(sa), far)
-    cWb = jnp.where(col_valid, W_s[:, 1][col_sid] + takec(sb), far)
-    cWc = jnp.where(col_valid, W_s[:, 2][col_sid] + takec(sc), far)
-
-    # ---- static per-atom features (sorted space), folded for the kernel
+    # ---- static feature planes, folded for the kernel
     q_s = charge[order].astype(f32)
     sg_s = (0.5 * sigma[order]).astype(f32)
     ep_s = (2.0 * jnp.sqrt(epsilon[order])).astype(f32)
     if n_real < n_pad:
         q_s = q_s.at[n_real:].set(0.0)
         ep_s = ep_s.at[n_real:].set(0.0)
-
-    col_sid_flat = col_sid.reshape(-1)
-    col_gid = jnp.where(col_valid, col_sid, -7).astype(f32)
-    # static feature planes packed (nb, 4, C) / (nb, 4, 64) — Mosaic needs
-    # sublane-dim blocks divisible by 8 or equal to the array dimension
-    col_stat = jnp.stack(
-        [q_s[col_sid_flat].reshape(nb, col_cap),
-         sg_s[col_sid_flat].reshape(nb, col_cap),
-         ep_s[col_sid_flat].reshape(nb, col_cap),
-         col_gid], axis=1)                                 # (nb, 4, C)
-    row_stat = jnp.stack(
-        [(ONE_4PI_EPS0 * q_s).reshape(nb, block),
-         sg_s.reshape(nb, block),
-         ep_s.reshape(nb, block),
-         jnp.zeros((nb, block), f32)], axis=1)             # (nb, 4, 64)
+    feat = jnp.zeros((nb + 1, 6, block), f32)
+    # rows and columns share these planes, so each carries HALF of every
+    # pair prefactor: sqrt(k_e)*q, sigma/2, 2*sqrt(eps)
+    feat = feat.at[:nb, 3].set(
+        (np.sqrt(ONE_4PI_EPS0) * q_s).reshape(nb, block))
+    feat = feat.at[:nb, 4].set(sg_s.reshape(nb, block))
+    feat = feat.at[:nb, 5].set(ep_s.reshape(nb, block))
+    # dummy block far outside any box
+    feat = feat.at[nb, 0:3].set(jnp.float32(1.0e7))
 
     # exclusions: original-id entries -> sorted slot ids
     if exclusions is not None and int(exclusions.shape[1]) > 0:
@@ -225,46 +153,38 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     else:
         excl_planes = jnp.zeros((nb, 1, block), f32) - 1.0
 
-    # per-step position offsets: gather indices in ORIGINAL atom space and
-    # the (current-box) lattice/center offsets
-    col_oid = order[col_sid_flat].reshape(nb, col_cap)
-    row_oid = order.reshape(nb, block)
-
-    return {
-        "order": order, "inv_order": inv_order,
-        "row_oid": row_oid, "col_oid": col_oid,
-        "rWa": W_s[:, 0].reshape(nb, block),
-        "rWb": W_s[:, 1].reshape(nb, block),
-        "rWc": W_s[:, 2].reshape(nb, block),
-        "cWa": cWa, "cWb": cWb, "cWc": cWc,
-        "centers": centers,
-        "row_stat": row_stat, "col_stat": col_stat,
-        "excl": excl_planes,
-        "count": count, "overflow": overflow,
-    }
-
-
-def _shift_xyz(Wa, Wb, Wc, box):
-    """Cartesian offset of integer lattice shifts (current box)."""
-    ox = Wa * box[0, 0] + Wb * box[1, 0] + Wc * box[2, 0]
-    oy = Wb * box[1, 1] + Wc * box[2, 1]
-    oz = Wc * box[2, 2]
-    return ox, oy, oz
+    # per-step coordinate refresh data: sorted-frame offsets (current box);
+    # indices stored BLOCKED so per-step gathers produce (nb, 64) planes
+    # directly (no 1-D -> 2-D relayout on the step path)
+    return {"order": order.reshape(nb, block),
+            "inv_order": inv_order,
+            "rWa": W_s[:, 0].reshape(nb, block),
+            "rWb": W_s[:, 1].reshape(nb, block),
+            "rWc": W_s[:, 2].reshape(nb, block),
+            "feat": feat, "code": code, "excl": excl_planes,
+            "count": count, "overflow": overflow}
 
 
 def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
-               crf=0.0, block=64, interpret=False):
-    """Direct-space (energy, forces) from the persistent compacted-column
-    state. Per step: 1-D gathers of the coordinate components into row /
-    column planes (with the stored lattice shifts applied), then the dense
-    (64, Ct) tile sweep."""
+               crf=0.0, block=64, want_energy=True, interpret=False):
+    """Direct-space (energy, forces) from the persistent tile state.
+
+    Per step: permute positions into the persisted sorted frame (one
+    n-sized gather — cheap), subtract the stored wrap offsets, refresh the
+    coordinate planes, sweep the candidate tiles.
+    """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nb, _, C = st["col_stat"].shape
+    feat = st["feat"]
+    code = st["code"]
+    excl_planes = st["excl"]
+    order = st["order"]
+    inv_order = st["inv_order"]
+    nb = feat.shape[0] - 1
     n_pad = nb * block
-    n_excl = st["excl"].shape[1]
-    ct = _pick_ct(C)
+    n_excl = excl_planes.shape[1]
+    max_cols = code.shape[1]
     f32 = jnp.float32
     boxf = box.astype(f32)
 
@@ -276,57 +196,58 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
         px = jnp.concatenate([px, jnp.broadcast_to(px[0], (pad,))])
         py = jnp.concatenate([py, jnp.broadcast_to(py[0], (pad,))])
         pz = jnp.concatenate([pz, jnp.broadcast_to(pz[0], (pad,))])
-
-    cx0, cy0, cz0 = (st["centers"][:, 0], st["centers"][:, 1],
-                     st["centers"][:, 2])
-    rox, roy, roz = _shift_xyz(st["rWa"], st["rWb"], st["rWc"], boxf)
-    cox, coy, coz = _shift_xyz(st["cWa"], st["cWb"], st["cWc"], boxf)
-    row_dyn = jnp.stack(
-        [px[st["row_oid"]] - rox - cx0[:, None],
-         py[st["row_oid"]] - roy - cy0[:, None],
-         pz[st["row_oid"]] - roz - cz0[:, None],
-         jnp.zeros((nb, block), f32)], axis=1)             # (nb, 4, 64)
-    col_dyn = jnp.stack(
-        [px[st["col_oid"]] - cox - cx0[:, None],
-         py[st["col_oid"]] - coy - cy0[:, None],
-         pz[st["col_oid"]] - coz - cz0[:, None],
-         jnp.zeros((nb, C), f32)], axis=1)                 # (nb, 4, C)
+    rox = (st["rWa"] * boxf[0, 0] + st["rWb"] * boxf[1, 0]
+           + st["rWc"] * boxf[2, 0])
+    roy = st["rWb"] * boxf[1, 1] + st["rWc"] * boxf[2, 1]
+    roz = st["rWc"] * boxf[2, 2]
+    feat = feat.at[:nb, 0].set(px[order] - rox)
+    feat = feat.at[:nb, 1].set(py[order] - roy)
+    feat = feat.at[:nb, 2].set(pz[order] - roz)
 
     consts = jnp.array([[alpha, cutoff * cutoff, krf, crf,
-                         0.0, 0.0, 0.0, 0.0]], f32)
+                         boxf[0, 0], boxf[1, 0], boxf[1, 1],
+                         boxf[2, 0], boxf[2, 1], boxf[2, 2],
+                         1.0 / boxf[0, 0], 1.0 / boxf[1, 1],
+                         1.0 / boxf[2, 2], 0.0, 0.0, 0.0]], f32)
 
     kernel = functools.partial(_kernel_body, n_excl=n_excl,
-                               mode=int(mode), ct=ct, b=block)
-    grid = (nb, C // ct)
+                               mode=int(mode), kc=COLS_PER_TILE, b=block,
+                               want_energy=bool(want_energy))
+    grid = (nb, max_cols // COLS_PER_TILE)
+
+    def col_spec(k):
+        # literal indices must stay i32 for the Mosaic transforms: derive
+        # zeros from the (i32) grid coordinates
+        return pl.BlockSpec(
+            (1, 6, block),
+            lambda r, c, code, cnt, k=k: (
+                code[r, COLS_PER_TILE * c + k], r * 0, r * 0))
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                # literal indices must stay i32 for the Mosaic transforms:
-                # derive zeros from the (i32) grid coordinates
-                pl.BlockSpec((1, 8), lambda r, c, cnt: (r * 0, r * 0),
+                pl.BlockSpec((1, 16), lambda r, c, code, cnt: (r * 0, r * 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 4, block), lambda r, c, cnt: (r, r * 0, r * 0)),
-                pl.BlockSpec((1, 4, block), lambda r, c, cnt: (r, r * 0, r * 0)),
-                pl.BlockSpec((1, 4, ct), lambda r, c, cnt: (r, r * 0, c)),
-                pl.BlockSpec((1, 4, ct), lambda r, c, cnt: (r, r * 0, c)),
+                pl.BlockSpec((1, 6, block),
+                             lambda r, c, code, cnt: (r, r * 0, r * 0)),
+            ] + [col_spec(k) for k in range(COLS_PER_TILE)] + [
                 pl.BlockSpec((1, n_excl, block),
-                             lambda r, c, cnt: (r, r * 0, r * 0)),
+                             lambda r, c, code, cnt: (r, r * 0, r * 0)),
             ],
-            out_specs=pl.BlockSpec((1, 8, block),
-                                   lambda r, c, cnt: (r, r * 0, r * 0)),
+            out_specs=pl.BlockSpec((1, 4, block),
+                                   lambda r, c, code, cnt: (r, r * 0, r * 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, block), f32),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, block), f32),
         interpret=interpret,
-    )(st["count"], consts, row_dyn, st["row_stat"], col_dyn,
-      st["col_stat"], st["excl"])
+    )(code, st["count"], consts, *([feat] * (COLS_PER_TILE + 1)),
+      excl_planes)
 
-    fx = out[:, 0, :].reshape(n_pad)[st["inv_order"]]
-    fy = out[:, 1, :].reshape(n_pad)[st["inv_order"]]
-    fz = out[:, 2, :].reshape(n_pad)[st["inv_order"]]
+    fx = out[:, 0, :].reshape(n_pad)[inv_order]
+    fy = out[:, 1, :].reshape(n_pad)[inv_order]
+    fz = out[:, 2, :].reshape(n_pad)[inv_order]
     energy = 0.5 * jnp.sum(out[:, 3, :], dtype=f32)
     forces = jnp.stack([fx, fy, fz], axis=-1).astype(pos.dtype)
     return energy, forces
@@ -339,16 +260,18 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     """One-shot build + sweep (energy, forces, overflow)."""
     st = build_tile_state(pos, box, charge, sigma, epsilon, exclusions,
                           n_real, cutoff, max_cols, block=block,
-                          sort_cell=sort_cell, col_cap=col_cap)
+                          sort_cell=sort_cell)
     e, f = eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=alpha,
                       krf=krf, crf=crf, block=block, interpret=interpret)
     return e, f, st["overflow"]
 
 
-def _kernel_body(count_ref, consts_ref, rdyn_ref, rstat_ref, cdyn_ref,
-                 cstat_ref, excl_ref, out_ref, *, n_excl, mode, ct, b):
+def _kernel_body(code_ref, count_ref, consts_ref, row_ref, *rest, n_excl,
+                 mode, kc, b, want_energy=True):
     import jax.experimental.pallas as pl
 
+    col_refs = rest[:kc]
+    excl_ref, out_ref = rest[kc:]
     ri = pl.program_id(0)
     ci = pl.program_id(1)
 
@@ -356,39 +279,70 @@ def _kernel_body(count_ref, consts_ref, rdyn_ref, rstat_ref, cdyn_ref,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(ci * ct < count_ref[ri])
+    @pl.when(ci * kc < count_ref[ri])
     def _():
-        _tile_compute(consts_ref, rdyn_ref, rstat_ref, cdyn_ref, cstat_ref,
-                      excl_ref, out_ref, ri, n_excl=n_excl, mode=mode, b=b)
+        _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
+                      out_ref, ri, ci, n_excl=n_excl, mode=mode, kc=kc, b=b,
+                      want_energy=want_energy)
 
 
-def _tile_compute(consts_ref, rdyn_ref, rstat_ref, cdyn_ref, cstat_ref,
-                  excl_ref, out_ref, ri, *, n_excl, mode, b):
+def _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
+                  out_ref, ri, ci, *, n_excl, mode, kc, b,
+                  want_energy=True):
     import jax.experimental.pallas as pl  # noqa: F401
 
     alpha = consts_ref[0, 0]
     rc2 = consts_ref[0, 1]
     krf = consts_ref[0, 2]
     crf = consts_ref[0, 3]
+    box_ax = consts_ref[0, 4]
+    box_bx = consts_ref[0, 5]
+    box_by = consts_ref[0, 6]
+    box_cx = consts_ref[0, 7]
+    box_cy = consts_ref[0, 8]
+    box_cz = consts_ref[0, 9]
+    inv_ax = consts_ref[0, 10]
+    inv_by = consts_ref[0, 11]
+    inv_cz = consts_ref[0, 12]
 
-    rdyn = rdyn_ref[0]                                     # (4, b)
-    rstat = rstat_ref[0]
-    cdyn = cdyn_ref[0]                                     # (4, ct)
-    cstat = cstat_ref[0]
+    row = row_ref[0]                                       # (8, b)
 
-    def rvec(plane, k):
-        return plane[k:k + 1, :].reshape(b, 1)
+    # column slot ids derive from the candidate block ids (the same codes
+    # that drove the DMA via the index maps)
+    cgid_parts = []
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    for k in range(kc):
+        bid = code_ref[ri, ci * kc + k]
+        cgid_parts.append(bid * b + iota_lane)
+    cols = jnp.concatenate([ref[0] for ref in col_refs], axis=1)  # (8,kc*b)
+    cgid = jnp.concatenate(cgid_parts, axis=1).astype(jnp.float32)
 
-    dx = rvec(rdyn, 0) - cdyn[0:1, :]
-    dy = rvec(rdyn, 1) - cdyn[1:2, :]
-    dz = rvec(rdyn, 2) - cdyn[2:3, :]
+    def rvec(k):
+        return row[k:k + 1, :].reshape(b, 1)
+
+    def cvec(k):
+        return cols[k:k + 1, :]
+
+    dx = rvec(0) - cvec(0)
+    dy = rvec(1) - cvec(1)
+    dz = rvec(2) - cvec(2)
+    # staged triclinic minimum image (reduced box form)
+    sc = jnp.round(dz * inv_cz)
+    dx = dx - sc * box_cx
+    dy = dy - sc * box_cy
+    dz = dz - sc * box_cz
+    sb = jnp.round(dy * inv_by)
+    dx = dx - sb * box_bx
+    dy = dy - sb * box_by
+    sa = jnp.round(dx * inv_ax)
+    dx = dx - sa * box_ax
     r2 = dx * dx + dy * dy + dz * dz
 
-    # self-pairs masked via sorted slot ids (rows: ri*b + lane index);
-    # exclusions via slot-id planes; padded atoms carry q=0/eps=0
+    # self-pairs masked via sorted slot ids; exclusions via slot-id planes;
+    # padded atoms carry q=0/eps=0 (zero contribution); the dummy block
+    # sits far away so invalid slots fail the cutoff test
     rgid = (ri * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
             ).astype(jnp.float32)
-    cgid = cstat[3:4, :]
     mask = (rgid != cgid) & (r2 < rc2)
     for e in range(n_excl):
         mask = mask & (excl_ref[0, e:e + 1, :].reshape(b, 1) != cgid)
@@ -397,39 +351,44 @@ def _tile_compute(consts_ref, rdyn_ref, rstat_ref, cdyn_ref, cstat_ref,
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
 
-    sig = rvec(rstat, 1) + cstat[1:2, :]
-    eps4 = rvec(rstat, 2) * cstat[2:3, :]
+    sig = rvec(4) + cvec(4)
+    eps4 = rvec(5) * cvec(5)
     s2 = sig * sig * inv_r2
     s6 = s2 * s2 * s2
     es6 = eps4 * s6
-    e_lj = es6 * (s6 - 1.0)
     de_lj = -3.0 * es6 * (2.0 * s6 - 1.0) * inv_r2
 
-    qq = rvec(rstat, 0) * cstat[0:1, :]
+    qq = rvec(3) * cvec(3)
     if mode == MODE_EWALD:
         r = r2s * inv_r
         ar = alpha * r
         exp_a2r2 = jnp.exp(-ar * ar)
         erfc_ar = _erfc_poly_fast(ar, exp_a2r2)
-        e_c = qq * inv_r * erfc_ar
         de_c = (-qq * (erfc_ar * inv_r2
                        + _TWO_OVER_SQRT_PI * alpha * exp_a2r2 * inv_r)
                 ) * (0.5 * inv_r)
     elif mode == MODE_RF:
-        e_c = qq * (inv_r + krf * r2s - crf)
         de_c = qq * (-0.5 * inv_r2 * inv_r + krf)
     else:
-        e_c = qq * inv_r
         de_c = -0.5 * qq * inv_r2 * inv_r
 
     scale = mask.astype(jnp.float32)
-    e_pair = (e_lj + e_c) * scale
     dedr2 = (de_lj + de_c) * scale
 
     fx = -2.0 * jnp.sum(dedr2 * dx, axis=1).reshape(1, b)
     fy = -2.0 * jnp.sum(dedr2 * dy, axis=1).reshape(1, b)
     fz = -2.0 * jnp.sum(dedr2 * dz, axis=1).reshape(1, b)
-    erow = jnp.sum(e_pair, axis=1).reshape(1, b)
-    upd = jnp.concatenate(
-        [fx, fy, fz, erow, jnp.zeros((4, b), jnp.float32)], axis=0)
+    if want_energy:
+        e_lj = es6 * (s6 - 1.0)
+        if mode == MODE_EWALD:
+            e_c = qq * inv_r * erfc_ar
+        elif mode == MODE_RF:
+            e_c = qq * (inv_r + krf * r2s - crf)
+        else:
+            e_c = qq * inv_r
+        e_pair = (e_lj + e_c) * scale
+        erow = jnp.sum(e_pair, axis=1).reshape(1, b)
+    else:
+        erow = jnp.zeros((1, b), jnp.float32)
+    upd = jnp.concatenate([fx, fy, fz, erow], axis=0)
     out_ref[0] = out_ref[0] + upd

@@ -73,15 +73,15 @@ def main():
         p, box, q, sig, eps, excl, n, reach, max_cols,
         sort_cell=block_side, col_cap=col_cap))(pos_pad)
     cnt = np.asarray(st["count"])
-    print("count mean %.0f max %d of %d  overflow %d"
-          % (cnt.mean(), cnt.max(), col_cap, int(st["overflow"])))
+    print("cand count mean %.0f max %d of %d  overflow %d"
+          % (cnt.mean(), cnt.max(), max_cols, int(st["overflow"])))
 
     def build_loop(p):
         def body(i, p):
             s2 = pp.build_tile_state(p, box, q, sig, eps, excl, n, reach,
                                      max_cols, sort_cell=block_side,
                                      col_cap=col_cap)
-            return p + s2["row_stat"][0, 0, 0] * 1e-30
+            return p + s2["feat"][0, 0, 0] * 1e-30
         return jax.lax.fori_loop(0, R, body, p)
     print("build_tile_state: %.3f ms" % tloop(build_loop, pos_pad),
           flush=True)
@@ -100,9 +100,11 @@ def main():
     # kernel): monkeypatch the kernel body to a copy
     orig = pp._tile_compute
 
-    def skeleton(consts_ref, rdyn_ref, rstat_ref, cdyn_ref, cstat_ref,
-                 excl_ref, out_ref, ri, *, n_excl, mode, b):
-        acc = rdyn_ref[0, 0:1, :] + cdyn_ref[0, 0:1, 0:b]
+    def skeleton(code_ref, consts_ref, row_ref, col_refs, excl_ref,
+                 out_ref, ri, ci, *, n_excl, mode, kc, b):
+        acc = row_ref[0, 0:1, :]
+        for ref in col_refs:
+            acc = acc + ref[0, 0:1, :]
         out_ref[0, 0:1] = out_ref[0, 0:1] + acc
     pp._tile_compute = skeleton
 
