@@ -780,7 +780,7 @@ class NonbondedForce(Force):
                     pos_pad, box, lj_coulomb_ef, per_atom, exclusions, n,
                     cutoff=cutoff, max_cols=self._nl_max_cols,
                     block=nl_block, periodic=periodic, accum_dtype=accum,
-                    sort_cell=self._nl_sort_cell)
+                    sort_cell=self._nl_sort_cell, mesh=cfg.mesh)
                 # capacity overflow -> NaN (the honest analog of the
                 # reference's overflow-retry, ContextImpl.cpp:298)
                 e = e + jnp.where(overflow > 0, jnp.nan, 0.0).astype(accum)
@@ -880,7 +880,8 @@ class NonbondedForce(Force):
             e_d, f_pad = pairs_mod.rows_ef_from_state(
                 pos_pad, box, st, lj_coulomb_ef,
                 pad_per_atom(charge, sigma, eps), exclusions, n, cutoff,
-                block=nl_block, periodic=periodic, accum_dtype=accum)
+                block=nl_block, periodic=periodic, accum_dtype=accum,
+                mesh=cfg.mesh)
             return e_d, f_pad[:n]
 
         def make_direct_ef(include_recip):

@@ -349,11 +349,18 @@ def build_row_state(pos, box, n_real, reach, max_cols, block=64,
 
 def rows_ef_from_state(pos, box, st, pair_ef_fn, per_atom, exclusions,
                        n_real, cutoff, block=64, periodic=False,
-                       accum_dtype=jnp.float32):
+                       accum_dtype=jnp.float32, mesh=None):
     """Tile sweep over a prebuilt candidate state (build_row_state).
 
     pair_ef_fn(r2_safe, pi, pj) -> (e, dE/dr2), both (..., B, B).
     Returns (energy, forces (n_pad, 3)).
+
+    With a mesh, the ROW-BLOCK dimension is sharded via shard_map: column
+    data (positions/parameters of every block) stays replicated, each
+    device sweeps its row range, and forces come back row-partitioned —
+    the reference's broadcast-posq / setAtomBlockRange / reduce scheme
+    (CudaParallelKernels.cpp:66-248) with the reduction implied by the
+    output sharding.
     """
     n_pad = pos.shape[0]
     assert n_pad % block == 0
@@ -376,8 +383,10 @@ def rows_ef_from_state(pos, box, st, pair_ef_fn, per_atom, exclusions,
     blocks = pos_s.reshape(nb, block, 3)
     par_blocks = {k: v.reshape(nb, block, *v.shape[1:])
                   for k, v in per_atom_s.items()}
-    excl_blocks = (None if excl_s is None
-                   else excl_s.reshape(nb, block, excl_s.shape[1]))
+    if excl_s is None:
+        excl_blocks = jnp.full((nb, block, 1), -1, jnp.int32)
+    else:
+        excl_blocks = excl_s.reshape(nb, block, excl_s.shape[1])
     gid_blocks = orig_id.reshape(nb, block)
     slot = jnp.arange(n_pad, dtype=jnp.int32).reshape(nb, block)
 
@@ -387,54 +396,105 @@ def rows_ef_from_state(pos, box, st, pair_ef_fn, per_atom, exclusions,
     by = blocks[:, :, 1]
     bz = blocks[:, :, 2]
 
-    def col_step(carry, k):
-        e_acc, fx_acc, fy_acc, fz_acc = carry
-        bj = cand[:, k]                                     # (nb,)
-        valid = cand_valid[:, k]                            # (nb,) bool
-        gid_j = gid_blocks[bj]
-        slot_j = slot[bj]
-        dx = bx[:, :, None] - bx[bj][:, None, :]            # (nb, B, B)
-        dy = by[:, :, None] - by[bj][:, None, :]
-        dz = bz[:, :, None] - bz[bj][:, None, :]
-        if periodic:
-            # staged triclinic reduction, component-wise
-            # (geometry.periodic_delta semantics: c then b then a rows)
-            sc = jnp.round(dz / box[2, 2])
-            dx = dx - sc * box[2, 0]
-            dy = dy - sc * box[2, 1]
-            dz = dz - sc * box[2, 2]
-            sb = jnp.round(dy / box[1, 1])
-            dx = dx - sb * box[1, 0]
-            dy = dy - sb * box[1, 1]
-            sa = jnp.round(dx / box[0, 0])
-            dx = dx - sa * box[0, 0]
-        r2 = dx * dx + dy * dy + dz * dz
-        mask = (slot[:, :, None] != slot_j[:, None, :]) \
-            & (slot[:, :, None] < n_real) & (slot_j[:, None, :] < n_real) \
-            & valid[:, None, None]
-        if excl_blocks is not None:
-            is_excl = jnp.any(
-                excl_blocks[:, :, :, None] == gid_j[:, None, None, :], axis=2)
-            mask = mask & ~is_excl
-        r2_safe = jnp.where(mask, r2, 1.0)
-        pi = {k2: v[:, :, None] for k2, v in par_blocks.items()}
-        pj = {k2: v[bj][:, None, :] for k2, v in par_blocks.items()}
-        e, dedr2 = pair_ef_fn(r2_safe, pi, pj)
-        e = jnp.where(mask, e, 0.0)
-        dedr2 = jnp.where(mask, dedr2, 0.0).astype(pos.dtype)
-        fx = -2.0 * jnp.sum(dedr2 * dx, axis=2)
-        fy = -2.0 * jnp.sum(dedr2 * dy, axis=2)
-        fz = -2.0 * jnp.sum(dedr2 * dz, axis=2)
-        e_tile = jnp.sum(e.astype(accum_dtype))
-        return (e_acc + e_tile, fx_acc + fx.astype(pos.dtype),
-                fy_acc + fy.astype(pos.dtype),
-                fz_acc + fz.astype(pos.dtype)), None
+    # column-side (replicated under sharding) and row-side (shardable)
+    C = {"bx": bx, "by": by, "bz": bz, "slot": slot, "gid": gid_blocks,
+         "par": par_blocks}
+    R = {"bx": bx, "by": by, "bz": bz, "slot": slot, "excl": excl_blocks,
+         "par": par_blocks, "cand": cand, "valid": cand_valid}
 
-    zf = jnp.zeros((nb, block), pos.dtype)
-    (energy2, fx_b, fy_b, fz_b), _ = jax.lax.scan(
-        col_step,
-        (jnp.zeros((), accum_dtype), zf, zf, zf),
-        jnp.arange(max_cols, dtype=jnp.int32))
+    def core(R, C):
+        def col_step(carry, k):
+            e_acc, fx_acc, fy_acc, fz_acc = carry
+            bj = R["cand"][:, k]                            # (nbl,)
+            valid = R["valid"][:, k]                        # (nbl,) bool
+            gid_j = C["gid"][bj]
+            slot_j = C["slot"][bj]
+            dx = R["bx"][:, :, None] - C["bx"][bj][:, None, :]
+            dy = R["by"][:, :, None] - C["by"][bj][:, None, :]
+            dz = R["bz"][:, :, None] - C["bz"][bj][:, None, :]
+            if periodic:
+                # staged triclinic reduction, component-wise
+                sc = jnp.round(dz / box[2, 2])
+                dx = dx - sc * box[2, 0]
+                dy = dy - sc * box[2, 1]
+                dz = dz - sc * box[2, 2]
+                sb = jnp.round(dy / box[1, 1])
+                dx = dx - sb * box[1, 0]
+                dy = dy - sb * box[1, 1]
+                sa = jnp.round(dx / box[0, 0])
+                dx = dx - sa * box[0, 0]
+            r2 = dx * dx + dy * dy + dz * dz
+            rslot = R["slot"]
+            mask = (rslot[:, :, None] != slot_j[:, None, :]) \
+                & (rslot[:, :, None] < n_real) \
+                & (slot_j[:, None, :] < n_real) \
+                & valid[:, None, None]
+            is_excl = jnp.any(
+                R["excl"][:, :, :, None] == gid_j[:, None, None, :], axis=2)
+            mask = mask & ~is_excl
+            r2_safe = jnp.where(mask, r2, 1.0)
+            pi = {k2: v[:, :, None] for k2, v in R["par"].items()}
+            pj = {k2: v[bj][:, None, :] for k2, v in C["par"].items()}
+            e, dedr2 = pair_ef_fn(r2_safe, pi, pj)
+            e = jnp.where(mask, e, 0.0)
+            dedr2 = jnp.where(mask, dedr2, 0.0).astype(pos.dtype)
+            fx = -2.0 * jnp.sum(dedr2 * dx, axis=2)
+            fy = -2.0 * jnp.sum(dedr2 * dy, axis=2)
+            fz = -2.0 * jnp.sum(dedr2 * dz, axis=2)
+            e_tile = jnp.sum(e.astype(accum_dtype))
+            return (e_acc + e_tile, fx_acc + fx.astype(pos.dtype),
+                    fy_acc + fy.astype(pos.dtype),
+                    fz_acc + fz.astype(pos.dtype)), None
+
+        nbl = R["bx"].shape[0]
+        zf = jnp.zeros((nbl, block), pos.dtype)
+        (e2, fx_b, fy_b, fz_b), _ = jax.lax.scan(
+            col_step,
+            (jnp.zeros((), accum_dtype), zf, zf, zf),
+            jnp.arange(max_cols, dtype=jnp.int32))
+        return e2, fx_b, fy_b, fz_b
+
+    if mesh is None:
+        energy2, fx_b, fy_b, fz_b = core(R, C)
+    else:
+        import jax.tree_util as jtu
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        from ..parallel.mesh import AXIS
+        n_dev = mesh.devices.size
+        nbl = -(-nb // n_dev)
+        padb = nbl * n_dev - nb
+        if padb:
+            def padrow(x, fill=0):
+                cfg = [(0, padb)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, cfg, constant_values=fill)
+            R = dict(R)
+            R["bx"] = padrow(R["bx"])
+            R["by"] = padrow(R["by"])
+            R["bz"] = padrow(R["bz"])
+            # padded row atoms carry slot >= n_real -> masked out
+            R["slot"] = padrow(R["slot"], fill=n_pad)
+            R["excl"] = padrow(R["excl"], fill=-1)
+            R["par"] = {k: padrow(v) for k, v in R["par"].items()}
+            R["cand"] = padrow(R["cand"])
+            R["valid"] = padrow(R["valid"], fill=False)
+
+        def core_sharded(R, C):
+            e2, fx_b, fy_b, fz_b = core(R, C)
+            return jax.lax.psum(e2, AXIS), fx_b, fy_b, fz_b
+
+        rspec = jtu.tree_map(lambda _: P(AXIS), R)
+        cspec = jtu.tree_map(lambda _: P(), C)
+        energy2, fx_b, fy_b, fz_b = shard_map(
+            core_sharded, mesh=mesh,
+            in_specs=(rspec, cspec),
+            out_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+            check_rep=False)(R, C)
+        if padb:
+            fx_b = fx_b[:nb]
+            fy_b = fy_b[:nb]
+            fz_b = fz_b[:nb]
+
     energy = 0.5 * energy2
     forces = jnp.stack([fx_b.reshape(n_pad), fy_b.reshape(n_pad),
                         fz_b.reshape(n_pad)], axis=-1)[inv_order]
@@ -443,7 +503,8 @@ def rows_ef_from_state(pos, box, st, pair_ef_fn, per_atom, exclusions,
 
 def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
                            n_real, cutoff, max_cols, block=64, periodic=False,
-                           accum_dtype=jnp.float32, sort_cell=None):
+                           accum_dtype=jnp.float32, sort_cell=None,
+                           mesh=None):
     """One-shot build + sweep (the original per-step API): direct-space
     energy AND analytic forces, scatter-free. The warp row kernel
     (nonbonded.cu:106) recast for the VPU. Returns (energy, forces,
@@ -452,5 +513,5 @@ def pair_energy_force_rows(pos, box, pair_ef_fn, per_atom, exclusions,
                          periodic=periodic, sort_cell=sort_cell)
     e, f = rows_ef_from_state(pos, box, st, pair_ef_fn, per_atom, exclusions,
                               n_real, cutoff, block=block, periodic=periodic,
-                              accum_dtype=accum_dtype)
+                              accum_dtype=accum_dtype, mesh=mesh)
     return e, f, st["overflow"]

@@ -116,13 +116,18 @@ def bspline_w_dw(t, order):
 
 
 def _dense_axis(w, base, offs_minus, n_axis, n_padded):
-    """Expand (N, order) weights into dense (N, n_padded) lane planes."""
+    """Expand (N, order) weights into dense (N, n_padded) lane planes.
+
+    Loop form (one compare+select per tap) avoids materializing the
+    (N, order, n_padded) one-hot intermediate.
+    """
     order = w.shape[-1]
-    g = jnp.mod(base[:, None] + jnp.arange(order, dtype=jnp.int32)[None, :]
-                - offs_minus, n_axis)                     # (N, order)
-    onehot = (g[:, :, None]
-              == jnp.arange(n_padded, dtype=jnp.int32)[None, None, :])
-    return jnp.sum(w[:, :, None] * onehot, axis=1)        # (N, n_padded)
+    lane = jnp.arange(n_padded, dtype=jnp.int32)[None, :]
+    acc = jnp.zeros((w.shape[0], n_padded), w.dtype)
+    for j in range(order):
+        g = jnp.mod(base + (j - offs_minus), n_axis)[:, None]
+        acc = acc + jnp.where(lane == g, w[:, j:j + 1], 0.0)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -194,17 +199,23 @@ def _dft_mats_cached(n):
     return wr, wi
 
 
-def _apply_dft(re, im, n_axis, axis, inverse=False):
-    """One axis of a complex DFT via two real matmuls per component."""
-    HIGH = jax.lax.Precision.HIGHEST
+_DFT_SPECS = ("czxy,kz->ckxy", "czxy,kx->czky", "czxy,ky->czxk")
+
+
+def _apply_dft(ri, n_axis, axis, inverse=False):
+    """One axis of a complex DFT on a stacked (2, nz, nx, ny) re/im tensor:
+    two batched contractions per axis (einsum keeps the axis in place —
+    no moveaxis relayout); bf16x3 (HIGH) is f32-grade at half the MXU
+    passes of HIGHEST."""
+    HIGH = jax.lax.Precision.HIGH
+    spec = _DFT_SPECS[axis]
     wr_np, wi_np = _dft_mats_cached(n_axis)
     wr = jnp.asarray(wr_np)
     wi = jnp.asarray(-wi_np if inverse else wi_np)
-    re2 = jnp.tensordot(wr, re, axes=([1], [axis]), precision=HIGH) \
-        - jnp.tensordot(wi, im, axes=([1], [axis]), precision=HIGH)
-    im2 = jnp.tensordot(wr, im, axes=([1], [axis]), precision=HIGH) \
-        + jnp.tensordot(wi, re, axes=([1], [axis]), precision=HIGH)
-    return jnp.moveaxis(re2, 0, axis), jnp.moveaxis(im2, 0, axis)
+    a = jnp.einsum(spec, ri, wr, precision=HIGH)
+    b = jnp.einsum(spec, ri, wi, precision=HIGH)
+    # (re', im') = (re*wr - im*wi, im*wr + re*wi)
+    return jnp.stack([a[0] - b[1], a[1] + b[0]])
 
 
 def convolve_potential(Q, box, grid, alpha, bsq_x, bsq_y, bsq_z):
@@ -221,10 +232,11 @@ def convolve_potential(Q, box, grid, alpha, bsq_x, bsq_y, bsq_z):
     box_inv = geom.box_inverse(box)
     vol = geom.box_volume(box).astype(f32)
 
-    re, im = Q, jnp.zeros_like(Q)
-    re, im = _apply_dft(re, im, nz, 0)
-    re, im = _apply_dft(re, im, nx, 1)
-    re, im = _apply_dft(re, im, ny, 2)
+    ri = jnp.stack([Q, jnp.zeros_like(Q)])
+    ri = _apply_dft(ri, nz, 0)
+    ri = _apply_dft(ri, nx, 1)
+    ri = _apply_dft(ri, ny, 2)
+    re, im = ri[0], ri[1]
 
     mx = jnp.fft.fftfreq(nx, 1.0 / nx).astype(f32)
     my = jnp.fft.fftfreq(ny, 1.0 / ny).astype(f32)
@@ -243,13 +255,13 @@ def convolve_potential(Q, box, grid, alpha, bsq_x, bsq_y, bsq_z):
     Kt = (ONE_4PI_EPS0 / (2.0 * jnp.pi * vol)) * kern * B
 
     energy = jnp.sum(Kt * (re * re + im * im))
-    re, im = Kt * re, Kt * im
-    re, im = _apply_dft(re, im, nz, 0, inverse=True)
-    re, im = _apply_dft(re, im, nx, 1, inverse=True)
-    re, im = _apply_dft(re, im, ny, 2, inverse=True)
+    ri = jnp.stack([Kt * re, Kt * im])
+    ri = _apply_dft(ri, nz, 0, inverse=True)
+    ri = _apply_dft(ri, nx, 1, inverse=True)
+    ri = _apply_dft(ri, ny, 2, inverse=True)
     # UNNORMALIZED inverse: dE/dQ(r) = 2 * sum_m Kt F exp(+2pi i m r / G),
     # exactly what the force interpolation consumes (no 1/G^3)
-    return re, energy
+    return ri[0], energy
 
 
 # ---------------------------------------------------------------------------

@@ -54,3 +54,31 @@ def test_sharded_dynamics_runs(mesh8):
     integ.step(10)
     st = ctx.getState(getEnergy=True)
     assert np.isfinite(st.getPotentialEnergy()._value)
+
+
+def test_sharded_neighbor_hot_path_matches_single(mesh8):
+    """Neighbor-list-scale system (n >= 1024): the rows tile sweep itself is
+    sharded over row blocks (shard_map), not just the small-system N^2 path.
+    Counterpart of CudaParallelKernels.cpp:66-248 force decomposition."""
+    system, positions = tip3p_water_box(n_waters=512)
+    assert system.getNumParticles() >= 1024
+    set_default_mesh(None)
+    ctx1 = mm.Context(system, mm.VerletIntegrator(0.001),
+                      mm.Platform.getPlatformByName("CPU"))
+    ctx1.setPositions(positions)
+    st1 = ctx1.getState(getEnergy=True, getForces=True)
+    e1 = st1.getPotentialEnergy()._value
+    f1 = st1.getForces(asNumpy=True)._value
+
+    set_default_mesh(mesh8)
+    ctx2 = mm.Context(system, mm.VerletIntegrator(0.001),
+                      mm.Platform.getPlatformByName("CPU"))
+    ctx2.setPositions(positions)
+    st2 = ctx2.getState(getEnergy=True, getForces=True)
+    e2 = st2.getPotentialEnergy()._value
+    f2 = st2.getForces(asNumpy=True)._value
+    set_default_mesh(None)
+
+    scale = np.abs(f1).max()
+    assert abs(e1 - e2) < 1e-5 * max(abs(e1), 1.0), (e1, e2)
+    assert np.max(np.abs(f1 - f2)) < 1e-6 * scale
