@@ -296,8 +296,49 @@ class ForceField(object):
         self._patches = {}            # name -> _Patch
         self._templatePatches = {}    # residue name -> {(patch, slot)}
         self._patched_cache = {}      # residue name -> [templates]
+        self._templateGenerators = []
+        self._wildcard = _AllTypesView(self)
         for f in files:
             self.loadFile(f)
+
+    @property
+    def _forces(self):
+        """Registered generator objects (reference's ff._forces list)."""
+        return self._generators
+
+    def _findAtomTypes(self, attrib, num):
+        """Per-slot sets of matching atom-type names; None marks an unknown
+        type/class, the all-types view marks a wildcard (reference
+        forcefield.py _findAtomTypes)."""
+        types = []
+        for i in range(num):
+            suffix = "" if num == 1 else str(i + 1)
+            class_attr = "class" + suffix
+            type_attr = "type" + suffix
+            if class_attr in attrib:
+                if attrib[class_attr] == "":
+                    types.append(self._wildcard)
+                else:
+                    matched = frozenset(self._class_types(attrib[class_attr]))
+                    types.append(matched if matched else None)
+            elif type_attr in attrib:
+                val = attrib[type_attr]
+                if val == "":
+                    types.append(self._wildcard)
+                elif val in self._atomTypes:
+                    types.append(frozenset([val]))
+                else:
+                    types.append(None)
+            else:
+                types.append(None)
+        return types
+
+    def registerTemplateGenerator(self, generator):
+        """Register a callback invoked when no template matches a residue:
+        generator(forcefield, residue) -> bool; returning True means it
+        registered a new template for the residue (reference
+        forcefield.py registerTemplateGenerator)."""
+        self._templateGenerators.append(generator)
 
     # ------------------------------------------------------------ parsing
     def loadFile(self, file):
@@ -381,6 +422,12 @@ class ForceField(object):
                     self._gbsa_params[k] = (float(a.attrib.get("charge", 0.0)),
                                             float(a.attrib["radius"]),
                                             float(a.attrib["scale"]))
+        # registry-based generator sections (ffgenerators.py PARSERS:
+        # CMAP, LennardJones/NBFIX, Custom*, Drude, AMOEBA family)
+        from . import ffgenerators
+        for child in root:
+            if child.tag in ffgenerators.PARSERS:
+                ffgenerators.PARSERS[child.tag](child, self)
 
     def _load_json(self, path):
         """Load openmm-tpu's compact JSON parameter format (produced by
@@ -655,7 +702,7 @@ class ForceField(object):
             template._native_spec = spec
         return spec
 
-    def _match_residue(self, res, graph=None):
+    def _match_residue(self, res, graph=None, _allow_generators=True):
         """Graph-isomorphism match of a topology residue against templates
         (semantics of forcefield.py:961 _matchResidue; native backtracking
         matcher in _native/src/native.c, role of compiled.pyx's
@@ -687,6 +734,14 @@ class ForceField(object):
                 mapping = self._try_match(atoms, neigh, external, template)
                 if mapping is not None:
                     return template, mapping
+        # user template generators get one chance to supply a template
+        # (reference forcefield.py registerTemplateGenerator semantics)
+        if _allow_generators:
+            for gen in self._templateGenerators:
+                if gen(self, res):
+                    self._patched_cache.clear()
+                    return self._match_residue(res, graph,
+                                               _allow_generators=False)
         raise OpenMMException(
             "No template found for residue %d (%s).  %s" % (
                 res.index + 1, res.name,
@@ -1042,11 +1097,32 @@ class ForceField(object):
                 gb.addParticle(q, radius, scale)
             sys.addForce(gb)
 
-        # ---- custom registered generators --------------------------------------
+        # ---- registered generators (parser sections + user callbacks) ----------
         data = _SystemData(atoms, atom_type, bonds, angles, propers,
                            template_info)
+        for (i, j) in bonds:
+            b = _BondData(i, j)
+            key = (min(i, j), max(i, j))
+            b.isConstrained = key in constrained_bonds
+            b.length = bond_r0.get(key, 0.0)
+            data.bonds.append(b)
+        data.bondedToAtom = neigh
+        args = dict(kwargs)
+        args.setdefault("switchDistance",
+                        None if switchDistance is None
+                        else u.strip(switchDistance, u.nanometer))
+        args.setdefault("flexibleConstraints", flexibleConstraints)
+        cutoff_nm = u.strip(nonbondedCutoff, u.nanometer)
+        postprocess = []
         for gen in self._generators:
-            gen(sys, data, nonbondedMethod, nonbondedCutoff)
+            if hasattr(gen, "createForce"):
+                gen.createForce(sys, data, nonbondedMethod, cutoff_nm, args)
+                if hasattr(gen, "postprocessSystem"):
+                    postprocess.append(gen)
+            else:
+                gen(sys, data, nonbondedMethod, nonbondedCutoff)
+        for gen in postprocess:
+            gen.postprocessSystem(sys, data, args)
 
         # ---- hydrogen mass repartitioning (forcefield.py createSystem) ---------
         if hydrogenMass is not None:
@@ -1069,14 +1145,50 @@ class ForceField(object):
         return sys
 
 
+class _AllTypesView(object):
+    """Live set-view over every registered atom type: the wildcard match
+    target (reference's ff._atomClasses[''])."""
+
+    def __init__(self, ff):
+        self._ff = ff
+
+    def __contains__(self, t):
+        return t in self._ff._atomTypes
+
+    def __iter__(self):
+        return iter(self._ff._atomTypes)
+
+    def __len__(self):
+        return len(self._ff._atomTypes)
+
+
+class _BondData(object):
+    """One topology bond with constraint bookkeeping (reference's
+    SystemData bond entries)."""
+
+    __slots__ = ("atom1", "atom2", "isConstrained", "length")
+
+    def __init__(self, atom1, atom2):
+        self.atom1 = atom1
+        self.atom2 = atom2
+        self.isConstrained = False
+        self.length = 0.0
+
+
 class _SystemData(object):
-    """Bundle handed to registered generators (mirrors forcefield.py's
-    internal SystemData role at a reduced scale)."""
+    """Bundle handed to registered generators, shaped like the reference's
+    internal SystemData: atomType/atomParameters keyed by topology Atom,
+    bonds as _BondData records, bondedToAtom adjacency."""
 
     def __init__(self, atoms, atom_type, bonds, angles, propers, templates):
         self.atoms = atoms
-        self.atomType = atom_type
-        self.bonds = bonds
+        # atom-object keyed views (reference semantics)
+        self.atomType = {a: atom_type[a.index][0] for a in atoms}
+        self.atomParameters = {a: atom_type[a.index][1] for a in atoms}
         self.angles = angles
         self.propers = propers
         self.templates = templates
+        self.bonds = []                      # filled with _BondData records
+        self.bondedToAtom = {}               # atom index -> neighbor set
+        self.excludeAtomWith = defaultdict(list)
+        self.virtualSites = {}

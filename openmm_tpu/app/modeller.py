@@ -16,6 +16,58 @@ from .topology import Topology
 from . import unitcell
 
 
+def _load_membrane_patch(name):
+    """Load a shipped pre-equilibrated membrane patch (data/<name>.npz,
+    converted from the reference's patch coordinates by
+    tools/convert_membrane.py). Returns (topology, positions_nm, box_nm)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data", name + ".npz")
+    if not os.path.exists(path):
+        raise ValueError(
+            "Unsupported lipid type: %s (ship a patch .npz or pass an "
+            "object with topology/positions)" % name)
+    d = np.load(path)
+    names = d["names"][d["name_idx"]]
+    resnames = d["resnames"][d["res_idx"]]
+    elements = d["elements"][d["elem_idx"]]
+    resid = d["resid"]
+    chain_ids = d["chain"]
+    top = Topology()
+    box = d["box_nm"]
+    top.setPeriodicBoxVectors(u.Quantity(
+        (Vec3(box[0], 0, 0), Vec3(0, box[1], 0), Vec3(0, 0, box[2])),
+        u.nanometer))
+    atoms = []
+    cur_chain = None
+    cur_chain_id = None
+    cur_res = None
+    cur_res_key = None
+    for i in range(len(names)):
+        if chain_ids[i] != cur_chain_id:
+            cur_chain = top.addChain(str(chain_ids[i]))
+            cur_chain_id = chain_ids[i]
+            cur_res_key = None
+        key = (chain_ids[i], resid[i], resnames[i])
+        if key != cur_res_key:
+            cur_res = top.addResidue(str(resnames[i]), cur_chain,
+                                     str(resid[i]))
+            cur_res_key = key
+        el = None
+        try:
+            el = Element.getBySymbol(str(elements[i]))
+        except Exception:
+            el = None
+        atoms.append(top.addAtom(str(names[i]), el, cur_res))
+    # waters carry no CONECT records; standard bonds fill them in
+    top.createStandardBonds()
+    have = set((min(b[0].index, b[1].index), max(b[0].index, b[1].index))
+               for b in top.bonds())
+    for a, b in d["bonds"]:
+        if (int(a), int(b)) not in have:
+            top.addBond(atoms[int(a)], atoms[int(b)])
+    return top, np.asarray(d["positions"], float), box
+
+
 class Modeller(object):
     def __init__(self, topology, positions):
         self.topology = topology
@@ -260,9 +312,322 @@ class Modeller(object):
         self.add(ion_top, u.Quantity(ion_pos, u.nanometer))
 
     def convertWater(self, model="tip3p"):
-        if model != "tip3p":
-            raise NotImplementedError(
-                "only 3-site water supported this round")
+        """Convert waters to another model, adding 4/5-site virtual
+        particles with the reference's geometric coefficients
+        (modeller.py:189-258 convertWater)."""
+        if model in ("tip3p", "spce"):
+            sites = 3
+        elif model == "tip4pew":
+            sites = 4
+        elif model == "tip5p":
+            sites = 5
+        else:
+            raise ValueError("Unknown water model: %s" % model)
+        if sites == 3:
+            return
+        new_top = Topology()
+        new_top.setPeriodicBoxVectors(self.topology.getPeriodicBoxVectors())
+        pos = np.asarray(u.strip(self.positions, u.nanometer), float)
+        new_pos = []
+        atom_map = {}
+        for chain in self.topology.chains():
+            nc = new_top.addChain(chain.id)
+            for res in chain.residues():
+                nr = new_top.addResidue(res.name, nc, res.id,
+                                        res.insertionCode)
+                if res.name == "HOH":
+                    oatom = [a for a in res.atoms()
+                             if a.element is not None
+                             and a.element.symbol == "O"]
+                    hatoms = [a for a in res.atoms()
+                              if a.element is not None
+                              and a.element.symbol == "H"]
+                    if len(oatom) != 1 or len(hatoms) != 2:
+                        raise ValueError(
+                            "Illegal water molecule (residue %d)" % res.index)
+                    for a in (oatom[0], hatoms[0], hatoms[1]):
+                        atom_map[a] = new_top.addAtom(a.name, a.element, nr)
+                        new_pos.append(pos[a.index].copy())
+                    po = pos[oatom[0].index]
+                    ph1 = pos[hatoms[0].index]
+                    ph2 = pos[hatoms[1].index]
+                    if sites == 4:
+                        new_top.addAtom("M", None, nr)
+                        new_pos.append(0.786646558 * po + 0.106676721 * ph1
+                                       + 0.106676721 * ph2)
+                    else:
+                        new_top.addAtom("M1", None, nr)
+                        new_top.addAtom("M2", None, nr)
+                        v1 = ph1 - po
+                        v2 = ph2 - po
+                        cr = np.cross(v1, v2)
+                        new_pos.append(po - (0.34490826 * v1
+                                             - 0.34490826 * v2
+                                             - 6.4437903 * cr))
+                        new_pos.append(po - (0.34490826 * v1
+                                             - 0.34490826 * v2
+                                             + 6.4437903 * cr))
+                else:
+                    for a in res.atoms():
+                        atom_map[a] = new_top.addAtom(a.name, a.element, nr,
+                                                      a.id)
+                        new_pos.append(pos[a.index].copy())
+        for bond in self.topology.bonds():
+            if bond[0] in atom_map and bond[1] in atom_map:
+                new_top.addBond(atom_map[bond[0]], atom_map[bond[1]])
+        self.topology = new_top
+        self.positions = u.Quantity([Vec3(*p) for p in new_pos], u.nanometer)
+
+    def addMembrane(self, forcefield, lipidType="POPC", membraneCenterZ=0.0,
+                    minimumPadding=1.0, positiveIon="Na+", negativeIon="Cl-",
+                    ionicStrength=0.0, neutralize=True,
+                    _relax_iterations=50):
+        """Add a lipid membrane (plus its solvating water) around the model.
+
+        The Wolf et al. scheme of the reference (modeller.py:1189
+        addMembrane): tile a pre-equilibrated membrane patch over the XY
+        plane, scale the protein to half size in XY, delete lipids/waters
+        overlapping it (balancing the two leaflets), then run short
+        dynamics while rescaling the protein back up. The shipped patch is
+        POPC (app/data/POPC.npz, converted coordinate data); other lipids
+        can be passed as any object with `topology` and `positions`.
+        """
+        import os
+        membraneCenterZ = float(u.strip(membraneCenterZ, u.nanometer))
+        minimumPadding = float(u.strip(minimumPadding, u.nanometer))
+        if hasattr(lipidType, "topology") and hasattr(lipidType, "positions"):
+            patch_top, patch_pos, patch_box = (
+                lipidType.topology,
+                np.asarray(u.strip(lipidType.positions, u.nanometer), float),
+                np.asarray(u.strip(
+                    lipidType.topology.getPeriodicBoxVectors(),
+                    u.nanometer), float).diagonal())
+        else:
+            patch_top, patch_pos, patch_box = _load_membrane_patch(
+                str(lipidType).upper())
+
+        pos = np.asarray(u.strip(self.positions, u.nanometer), float)
+        pmin, pmax = pos.min(axis=0), pos.max(axis=0)
+        psize = pmax - pmin
+        pcenter = 0.5 * (pmin + pmax)
+        pcenter = np.array([pcenter[0], pcenter[1], membraneCenterZ])
+        patch_min = patch_pos.min(axis=0)
+        patch_max = patch_pos.max(axis=0)
+        patch_center = 0.5 * (patch_min + patch_max)
+        nx = int(math.ceil((psize[0] + 2 * minimumPadding) / patch_box[0]))
+        ny = int(math.ceil((psize[1] + 2 * minimumPadding) / patch_box[1]))
+
+        # leaflet of each lipid (mean z vs membrane mean z)
+        res_atoms = {}
+        res_mean_z = {}
+        mean_z_num = 0.0
+        mean_z_den = 0
+        for res in patch_top.residues():
+            idx = np.array([a.index for a in res.atoms()])
+            res_atoms[res] = idx
+            if res.name != "HOH":
+                res_mean_z[res] = float(patch_pos[idx, 2].mean())
+                mean_z_num += float(patch_pos[idx, 2].sum())
+                mean_z_den += len(idx)
+        membrane_mean_z = mean_z_num / max(mean_z_den, 1)
+        leaf = {res: (0 if z < membrane_mean_z else 1)
+                for res, z in res_mean_z.items()}
+
+        scaled = pos - pcenter
+        scaled[:, 0] *= 0.5
+        scaled[:, 1] *= 0.5
+        scaled = scaled + pcenter
+
+        box_z = patch_box[2]
+        if self.topology.getPeriodicBoxVectors() is not None:
+            bv = np.asarray(u.strip(self.topology.getPeriodicBoxVectors(),
+                                    u.nanometer), float)
+            box_z = max(box_z, bv[2][2] + 2 * minimumPadding)
+        else:
+            box_z = max(box_z, psize[2] + 2 * minimumPadding)
+        mem_box = (nx * patch_box[0], ny * patch_box[1], box_z)
+
+        cutoff = 0.22
+
+        def make_cells(points):
+            cells = {}
+            inv = 1.0 / cutoff
+            for i, p in enumerate(points):
+                cells.setdefault(tuple((p * inv).astype(int)), []).append(i)
+            return cells
+
+        def overlaps(p, cells, points):
+            k0 = (p / cutoff).astype(int)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        for j in cells.get((k0[0] + dx, k0[1] + dy,
+                                            k0[2] + dz), ()):
+                            if np.sum((p - points[j]) ** 2) < cutoff * cutoff:
+                                return True
+            return False
+
+        cells_full = make_cells(pos)
+        cells_scaled = make_cells(scaled)
+
+        added_water = []
+        added_lipids = []
+        removed_from_leaf = [0, 0]
+        for tx in range(nx):
+            for ty in range(ny):
+                off = (pcenter - patch_center
+                       + np.array([(tx - 0.5 * (nx - 1)) * patch_box[0],
+                                   (ty - 0.5 * (ny - 1)) * patch_box[1],
+                                   0.0]))
+                for res in patch_top.residues():
+                    rp = patch_pos[res_atoms[res]] + off
+                    if res.name == "HOH":
+                        bad = any(overlaps(p, cells_full, pos) for p in rp) \
+                            or any(overlaps(p, cells_scaled, scaled)
+                                   for p in rp)
+                        if not bad:
+                            added_water.append((res, rp))
+                    else:
+                        bad = any(overlaps(p, cells_scaled, scaled)
+                                  for p in rp)
+                        if bad:
+                            removed_from_leaf[leaf[res]] += 1
+                        else:
+                            added_lipids.append((res, rp))
+        skip = [max(removed_from_leaf) - removed_from_leaf[i] for i in (0, 1)]
+
+        mem_top = Topology()
+        mem_top.setPeriodicBoxVectors(u.Quantity(
+            (Vec3(mem_box[0], 0, 0), Vec3(0, mem_box[1], 0),
+             Vec3(0, 0, mem_box[2])), u.nanometer))
+        mem_pos = []
+        atom_map = {}
+        res_bonds = {}
+        for bond in patch_top.bonds():
+            res_bonds.setdefault(bond[0].residue, []).append(bond)
+        lipid_chain = mem_top.addChain()
+        rnum = 1
+        for res, rp in added_lipids:
+            if skip[leaf[res]] > 0:
+                skip[leaf[res]] -= 1
+                continue
+            nr = mem_top.addResidue(res.name, lipid_chain, str(rnum),
+                                    res.insertionCode)
+            rnum += 1
+            for a in res.atoms():
+                atom_map[a] = mem_top.addAtom(a.name, a.element, nr, a.id)
+            mem_pos.extend(rp)
+            for bond in res_bonds.get(res, ()):
+                mem_top.addBond(atom_map[bond[0]], atom_map[bond[1]])
+        water_chain = mem_top.addChain()
+        for res, rp in added_water:
+            nr = mem_top.addResidue(res.name, water_chain, res.id,
+                                    res.insertionCode)
+            for a in res.atoms():
+                atom_map[a] = mem_top.addAtom(a.name, a.element, nr, a.id)
+            mem_pos.extend(rp)
+            for bond in res_bonds.get(res, ()):
+                mem_top.addBond(atom_map[bond[0]], atom_map[bond[1]])
+        mem_pos = np.asarray(mem_pos, float)
+
+        # relax: lipid system + frozen protein particles with overlap
+        # exceptions, short low-T dynamics while the protein scales back up
+        from .forcefield import CutoffPeriodic, CutoffNonPeriodic
+        from .. import (Context, LangevinIntegrator, LocalEnergyMinimizer,
+                        NonbondedForce)
+        system = forcefield.createSystem(mem_top,
+                                         nonbondedMethod=CutoffPeriodic)
+        protein_system = forcefield.createSystem(
+            self.topology, nonbondedMethod=CutoffNonPeriodic)
+        n_mem = system.getNumParticles()
+        n_prot = protein_system.getNumParticles()
+        for i in range(n_prot):
+            system.addParticle(0.0)
+        nb_mem = None
+        nb_prot = None
+        for f in system.getForces():
+            if isinstance(f, NonbondedForce):
+                nb_mem = f
+        for f in protein_system.getForces():
+            if isinstance(f, NonbondedForce):
+                nb_prot = f
+        if nb_mem is None or nb_prot is None:
+            raise ValueError("The ForceField does not specify a "
+                             "NonbondedForce")
+        for i in range(n_prot):
+            c, s, e = nb_prot.getParticleParameters(i)
+            nb_mem.addParticle(c, s, e)
+        # protein-protein interactions are frozen anyway; exclude close pairs
+        for i in range(n_prot):
+            k0 = (scaled[i] / cutoff).astype(int)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        for j in cells_scaled.get(
+                                (k0[0] + dx, k0[1] + dy, k0[2] + dz), ()):
+                            if j < i:
+                                nb_mem.addException(
+                                    i + n_mem, j + n_mem, 0.0, 1.0, 0.0,
+                                    True)
+
+        integ = LangevinIntegrator(10.0, 50.0, 0.001)
+        ctx = Context(system, integ)
+        merged = np.concatenate([mem_pos, scaled])
+        ctx.setPositions(merged)
+        LocalEnergyMinimizer.minimize(ctx, 10.0, 30)
+        for i in range(_relax_iterations):
+            w1 = i / max(_relax_iterations - 1.0, 1.0)
+            w2 = 1.0 - w1
+            cur = np.asarray(ctx.getState(getPositions=True)
+                             .getPositions(asNumpy=True)
+                             .value_in_unit(u.nanometer))
+            cur[n_mem:] = w1 * pos + w2 * scaled
+            ctx.setPositions(cur)
+            integ.step(20)
+        final = np.asarray(ctx.getState(getPositions=True)
+                           .getPositions(asNumpy=True)
+                           .value_in_unit(u.nanometer))
+
+        self.add(mem_top, u.Quantity(
+            [Vec3(*p) for p in final[:n_mem]], u.nanometer))
+        self.topology.setPeriodicBoxVectors(mem_top.getPeriodicBoxVectors())
+
+        if neutralize or ionicStrength:
+            n_waters = sum(1 for r in self.topology.residues()
+                           if r.name == "HOH")
+            self._add_membrane_ions(forcefield, n_waters, positiveIon,
+                                    negativeIon, ionicStrength, neutralize)
+
+    def _add_membrane_ions(self, forcefield, n_waters, positiveIon,
+                           negativeIon, ionicStrength, neutralize):
+        """Ion placement by water substitution (shared with addSolvent)."""
+        try:
+            from .forcefield import NoCutoff
+            system = forcefield.createSystem(self.topology,
+                                             nonbondedMethod=NoCutoff)
+        except Exception:
+            return
+        from .. import NonbondedForce
+        total = 0.0
+        for f in system.getForces():
+            if isinstance(f, NonbondedForce):
+                for i in range(f.getNumParticles()):
+                    total += float(u.strip(f.getParticleParameters(i)[0],
+                                           u.elementary_charge))
+        n_pos = n_neg = 0
+        if neutralize:
+            q = int(round(total))
+            if q > 0:
+                n_neg += q
+            else:
+                n_pos += -q
+        conc = float(u.strip(ionicStrength, u.molar))
+        n_ionic = int(round(conc * n_waters / 55.4))
+        n_pos += n_ionic
+        n_neg += n_ionic
+        if n_pos or n_neg:
+            self._replace_waters_with_ions(n_pos, positiveIon, n_neg,
+                                           negativeIon)
 
     def addExtraParticles(self, forcefield):
         """Add extra particles (virtual sites / Drude) required by the force

@@ -86,6 +86,11 @@ class Context(object):
             self._accum_dtype = jnp.float64
         elif precision == "mixed":
             self._dtype = jnp.float32
+            # compensated (f32x2) position accumulation — the TPU-native
+            # analog of the reference's posq correction arrays
+            # (ComputeContext.h:309): forces stay f32, integrated positions
+            # keep ~f64-equivalent precision
+            self._pos_compensated = True
             # f64 accumulation only where it's native (CPU); on TPU f64 is
             # emulated and would dominate the step cost — mixed there means
             # f32 compute + f64 scalar bookkeeping (time), like the
@@ -96,6 +101,8 @@ class Context(object):
         else:
             self._dtype = jnp.float32
             self._accum_dtype = jnp.float32
+        if not hasattr(self, "_pos_compensated"):
+            self._pos_compensated = False
         self._time_dtype = (jnp.float64 if _backend_supports_f64(self._device)
                             else jnp.float32)
 
@@ -189,6 +196,8 @@ class Context(object):
                 "iparams": {},
                 "faux": {},
             }
+            if self._pos_compensated:
+                self._state["pos_lo"] = jnp.zeros((n, 3), self._dtype)
         self._positions_set = False
 
         # --- deps bundle + jit caches --------------------------------------------
@@ -478,6 +487,12 @@ class Context(object):
             if self._vsite_update is not None:
                 arr = self._jit_vsites(arr)
         self._state["positions"] = arr
+        if self._pos_compensated:
+            # keep the f64 residual the f32 cast dropped
+            lo = pos - np.asarray(arr, np.float64)
+            with __import__("jax").default_device(self._device):
+                self._state["pos_lo"] = jnp.asarray(
+                    lo.astype(self._dtype))
         self._positions_set = True
 
     def setVelocities(self, velocities):
@@ -730,6 +745,8 @@ class Context(object):
             kw["paramDerivs"] = {k: float(v) for k, v in derivs.items()}
         if types & State.Positions:
             pos = np.asarray(s["positions"], np.float64)
+            if "pos_lo" in s:
+                pos = pos + np.asarray(s["pos_lo"], np.float64)
             if enforcePeriodicBox and self._system.usesPeriodicBoundaryConditions():
                 pos = self._wrap_positions(pos, np.asarray(s["box"], np.float64))
             kw["positions"] = pos

@@ -21,6 +21,7 @@ from ..constants import ONE_4PI_EPS0
 from ..exceptions import OpenMMException
 from ..ops import geometry as geom
 from .base import CompiledForce, Force
+from .nonbonded import _erfc_f32 as _erfc_f32_local
 
 _NM = u.nanometer
 _E = u.kilojoule_per_mole
@@ -220,6 +221,9 @@ class AmoebaMultipoleForce(Force):
         self._mutual_max_iter = 60
         self._mutual_eps = 1e-5
         self._extrapolation_coefficients = [-0.154, 0.017, 0.657, 0.475]
+        self._aewald = 0.0
+        self._pme_grid = (0, 0, 0)
+        self._ewald_tol = 1e-4
 
     def getNumMultipoles(self):
         return len(self._particles)
@@ -303,6 +307,24 @@ class AmoebaMultipoleForce(Force):
     def setExtrapolationCoefficients(self, coeffs):
         self._extrapolation_coefficients = [float(c) for c in coeffs]
 
+    def getAEwald(self):
+        return self._aewald
+
+    def setAEwald(self, aewald):
+        self._aewald = float(u.strip(aewald, _NM ** -1))
+
+    def getPmeGridDimensions(self):
+        return list(self._pme_grid)
+
+    def setPmeGridDimensions(self, dims):
+        self._pme_grid = tuple(int(d) for d in dims)
+
+    def getEwaldErrorTolerance(self):
+        return self._ewald_tol
+
+    def setEwaldErrorTolerance(self, tol):
+        self._ewald_tol = float(tol)
+
     def usesPeriodicBoundaryConditions(self):
         return self._method == AmoebaMultipoleForce.PME
 
@@ -371,9 +393,7 @@ class AmoebaMultipoleForce(Force):
             raise OpenMMException(
                 "AmoebaMultipoleForce must have same particle count as System")
         if self._method == AmoebaMultipoleForce.PME:
-            raise OpenMMException(
-                "AmoebaMultipoleForce PME is not implemented yet; "
-                "use NoCutoff (multipole PME lands next round)")
+            return self._compile_pme(system, cfg)
         dt = cfg.dtype
         accum = cfg.accum_dtype
         params = self._pack_params(cfg)
@@ -575,6 +595,358 @@ class AmoebaMultipoleForce(Force):
         cf = CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
                            params=params, energy_fn=energy_fn,
                            uses_pbc=False)
+
+        def induced_fn(pos, box, p, gp):
+            _, e_field, geom_cache = fields_and_energy(pos, box, p, gp)
+            return induce(p, e_field, geom_cache)
+
+        cf._induced_fn = induced_fn
+        return cf
+
+    def _compile_pme(self, system, cfg):
+        """Multipole PME: real-space Bn-damped tensors + scale corrections,
+        B-spline derivative-weight spread of charge/dipole/quadrupole, dense
+        matmul-DFT convolution, Ewald self terms; the induced-dipole SCF
+        sees real+reciprocal+self fields. Forces and torques come from
+        jax.grad through the whole pipeline (lab-frame rotation matrices
+        are functions of positions, so the torque chain is automatic).
+        Reference: plugins/amoeba/platforms/common/src/kernels/
+        multipolePme.cc, AmoebaReferenceMultipoleForce.cpp:4943-6319."""
+        from ..ops import pme as pme_mod
+
+        n = cfg.n_particles
+        dt = cfg.dtype
+        accum = cfg.accum_dtype
+        params = self._pack_params(cfg)
+        m_s, p_s, d_s, u_s = self._scale_matrices(n)
+        m_s = jnp.asarray(m_s.astype(dt))
+        d_s = jnp.asarray(d_s.astype(dt))
+        u_sj = jnp.asarray(u_s.astype(dt))
+        axis_type = jnp.asarray(np.asarray(
+            [p["axisType"] for p in self._particles], np.int32))
+        atom_z = jnp.asarray(np.asarray(
+            [max(p["atomZ"], 0) for p in self._particles], np.int32))
+        atom_x = jnp.asarray(np.asarray(
+            [max(p["atomX"], 0) for p in self._particles], np.int32))
+        atom_y = jnp.asarray(np.asarray(
+            [max(p["atomY"], 0) for p in self._particles], np.int32))
+        damp = jnp.asarray(np.asarray(
+            [p["damp"] for p in self._particles]).astype(dt))
+        polarization = self._polarization
+        max_iter = min(self._mutual_max_iter, 60)
+        ext_coeffs = list(self._extrapolation_coefficients)
+        cutoff = self._cutoff
+
+        box0 = system._box_array()
+        widths = [box0[0][0], box0[1][1], box0[2][2]]
+        alpha = self._aewald
+        if alpha <= 0.0:
+            alpha = pme_mod.ewald_alpha(cutoff, self._ewald_tol)
+        grid_dims = (tuple(self._pme_grid) if all(self._pme_grid)
+                     else tuple(pme_mod.pme_grid_size(widths, alpha,
+                                                      self._ewald_tol)))
+        md = pme_mod.make_pme_recip_data(grid_dims, 5, zeta=True)
+        bsq = tuple(jnp.asarray(md[k].astype(dt))
+                    for k in ("bsq_x", "bsq_y", "bsq_z"))
+        nx, ny, nz = grid_dims
+        SQRT_PI = math.sqrt(math.pi)
+
+        # ---- frame helpers (same math as the NoCutoff branch)
+        def rotation_matrices(pos):
+            zdir = pos[atom_z] - pos
+            xdir = pos[atom_x] - pos
+
+            def unit(v):
+                return v / jnp.sqrt(jnp.maximum(
+                    jnp.sum(v * v, -1, keepdims=True), 1e-20))
+
+            uz = unit(zdir)
+            at = axis_type[:, None]
+            uz = jnp.where(at == AmoebaMultipoleForce.Bisector,
+                           unit(unit(zdir) + unit(xdir)), uz)
+            ux_raw = jnp.where(at == AmoebaMultipoleForce.ZOnly,
+                               jnp.array([1.0, 0.0, 0.0], dt), unit(xdir))
+            ux = unit(ux_raw - uz * jnp.sum(ux_raw * uz, -1, keepdims=True))
+            alt = jnp.cross(uz, jnp.array([0.0, 0.0, 1.0], dt))
+            alt2 = jnp.cross(uz, jnp.array([0.0, 1.0, 0.0], dt))
+            alt = jnp.where(jnp.sum(alt * alt, -1, keepdims=True) > 0.01,
+                            alt, alt2)
+            bad = jnp.sum(ux * ux, -1, keepdims=True) < 1e-8
+            ux = jnp.where(bad, unit(alt), ux)
+            uy = jnp.cross(uz, ux)
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=dt), (n, 3, 3))
+            R = jnp.stack([ux, uy, uz], axis=-2)
+            R = jnp.where((at == AmoebaMultipoleForce.NoAxisType)[..., None],
+                          eye, R)
+            return R
+
+        def lab_multipoles(pos, p):
+            R = rotation_matrices(pos)
+            d_lab = jnp.einsum("nij,nj->ni", jnp.swapaxes(R, 1, 2),
+                               p["dipole"])
+            q_lab = jnp.einsum("nki,nkl,nlj->nij", R, p["quad"], R)
+            return d_lab, q_lab
+
+        # ---- reciprocal energy of arbitrary (charge, dipole, quad) sets
+        def recip_energy(pos, box, charge, dip, quad):
+            from ..ops import geometry as geom
+            binv = geom.box_inverse(box).astype(dt)
+            frac = geom.to_fractional(pos, binv)
+            frac = frac - jnp.floor(frac)
+            u3 = frac * jnp.array([nx, ny, nz], dt)
+            base = jnp.floor(u3)
+            t = u3 - base
+            base = base.astype(jnp.int32)
+            wx, dwx, d2wx = pme_mod.bspline_w_dw_d2w(t[:, 0], 5)
+            wy, dwy, d2wy = pme_mod.bspline_w_dw_d2w(t[:, 1], 5)
+            wz, dwz, d2wz = pme_mod.bspline_w_dw_d2w(t[:, 2], 5)
+
+            def dense(w, axis, n_axis):
+                return pme_mod.dense_axis_weights(w, base[:, axis], 4,
+                                                  n_axis)
+
+            Wx, dWx, d2Wx = (dense(wx, 0, nx), dense(dwx, 0, nx),
+                             dense(d2wx, 0, nx))
+            Wy, dWy, d2Wy = (dense(wy, 1, ny), dense(dwy, 1, ny),
+                             dense(d2wy, 1, ny))
+            Wz, dWz, d2Wz = (dense(wz, 2, nz), dense(dwz, 2, nz),
+                             dense(d2wz, 2, nz))
+
+            # fractional multipoles: du_a/dx_k = n_a binv[k, a]; the stored
+            # dW stacks differentiate wrt the ATOM's fractional offset, so
+            # the dipole spread carries S1 = +1 relative to -d.grad(delta)
+            J = binv * jnp.array([nx, ny, nz], dt)[None, :]
+            dF = dip @ J                                     # (N, 3)
+            QF = jnp.einsum("nkl,ka,lb->nab", quad, J, J)
+
+            def tri(a, b, c):
+                return jnp.einsum("ix,iy,iz->xyz", a, b, c)
+
+            Q = tri(charge[:, None] * Wx, Wy, Wz)
+            Q = Q + tri(dF[:, 0:1] * dWx, Wy, Wz)
+            Q = Q + tri(dF[:, 1:2] * Wx, dWy, Wz)
+            Q = Q + tri(dF[:, 2:3] * Wx, Wy, dWz)
+            third = 1.0 / 3.0
+            Q = Q + third * (
+                tri(QF[:, 0, 0:1] * d2Wx, Wy, Wz)
+                + tri(QF[:, 1, 1:2] * Wx, d2Wy, Wz)
+                + tri(QF[:, 2, 2:3] * Wx, Wy, d2Wz)
+                + 2.0 * tri(QF[:, 0, 1:2] * dWx, dWy, Wz)
+                + 2.0 * tri(QF[:, 0, 2:3] * dWx, Wy, dWz)
+                + 2.0 * tri(QF[:, 1, 2:3] * Wx, dWy, dWz))
+            return pme_mod.recip_energy_from_grid(
+                Q, box, grid_dims, alpha, bsq[0], bsq[1], bsq[2], accum)
+
+        # ---- real-space machinery
+        def pair_data(pos, box, p):
+            from ..ops import geometry as geom
+            charge = p["charge"]
+            d_lab, q_lab = lab_multipoles(pos, p)
+            dr = pos[:, None, :] - pos[None, :, :]
+            dr = geom.periodic_delta(dr, box)
+            r2 = jnp.sum(dr * dr, -1)
+            mask = ~jnp.eye(n, dtype=bool)
+            r2s = jnp.where(mask, r2, 1.0)
+            r = jnp.sqrt(r2s)
+            return charge, d_lab, q_lab, dr, r, r2s, mask
+
+        def contractions(charge, d_lab, q_lab, dr):
+            qi = charge[:, None]
+            qj = charge[None, :]
+            di_r = jnp.einsum("ik,ijk->ij", d_lab, dr)
+            dj_r = jnp.einsum("jk,ijk->ij", d_lab, dr)
+            di_dj = jnp.einsum("ik,jk->ij", d_lab, d_lab)
+            Qi_r = jnp.einsum("ikl,ijl->ijk", q_lab, dr)
+            Qj_r = jnp.einsum("jkl,ijl->ijk", q_lab, dr)
+            rQi_r = jnp.einsum("ijk,ijk->ij", Qi_r, dr)
+            rQj_r = jnp.einsum("ijk,ijk->ij", Qj_r, dr)
+            tr_Q = jnp.trace(q_lab, axis1=1, axis2=2)
+            di_Qj_r = jnp.einsum("ik,ijk->ij", d_lab, Qj_r)
+            dj_Qi_r = jnp.einsum("jk,ijk->ij", d_lab, Qi_r)
+            Qi_Qj = jnp.einsum("ikl,jkl->ij", q_lab, q_lab)
+            QiQj_rr = jnp.einsum("ijk,ijk->ij", Qi_r, Qj_r)
+            return (qi, qj, di_r, dj_r, di_dj, Qi_r, Qj_r, rQi_r, rQj_r,
+                    tr_Q, di_Qj_r, dj_Qi_r, Qi_Qj, QiQj_rr)
+
+        def tensor_energy(C, K1, K2, K3, K4, K5):
+            """Multipole pair energy with generalized radial kernels:
+            plain kernels are (1/r, 1/r^3, 1/r^5, 1/r^7, 1/r^9); the Ewald
+            real space substitutes (B0, B1, B2/3, B3/15, B4/105)."""
+            (qi, qj, di_r, dj_r, di_dj, Qi_r, Qj_r, rQi_r, rQj_r,
+             tr_Q, di_Qj_r, dj_Qi_r, Qi_Qj, QiQj_rr) = C
+            e = qi * qj * K1
+            e = e + (-qj * di_r + qi * dj_r) * K2
+            e = e - (3.0 * di_r * dj_r * K3 - di_dj * K2)
+            e = e + (1.0 / 3.0) * (
+                qi * (3.0 * rQj_r * K3 - tr_Q[None, :] * K2)
+                + qj * (3.0 * rQi_r * K3 - tr_Q[:, None] * K2))
+            t3_i = (-15.0 * di_r * rQj_r * K4
+                    + 3.0 * (di_r * tr_Q[None, :] + 2.0 * di_Qj_r) * K3)
+            t3_j = (-15.0 * dj_r * rQi_r * K4
+                    + 3.0 * (dj_r * tr_Q[:, None] + 2.0 * dj_Qi_r) * K3)
+            e = e + (1.0 / 3.0) * (t3_i - t3_j)
+            t4 = (105.0 * rQi_r * rQj_r * K5
+                  - 15.0 * (rQi_r * tr_Q[None, :] + rQj_r * tr_Q[:, None]
+                            + 4.0 * QiQj_rr) * K4
+                  + 3.0 * (tr_Q[:, None] * tr_Q[None, :] + 2.0 * Qi_Qj)
+                  * K3)
+            e = e + (1.0 / 9.0) * t4
+            return e
+
+        def tensor_field(C, dr, d_lab, K2, K3, K4):
+            """Field at i from site j's multipole with generalized kernels
+            (plain: 1/r^3, 1/r^5, 1/r^7)."""
+            (qi, qj, di_r, dj_r, di_dj, Qi_r, Qj_r, rQi_r, rQj_r,
+             tr_Q, di_Qj_r, dj_Qi_r, Qi_Qj, QiQj_rr) = C
+            f_q = qj[:, :, None] * dr * K2[:, :, None]
+            f_d = (3.0 * dj_r[:, :, None] * dr * K3[:, :, None]
+                   - d_lab[None, :, :] * K2[:, :, None])
+            f_quad = (5.0 * rQj_r[:, :, None] * dr * K4[:, :, None]
+                      - (2.0 * Qj_r + tr_Q[None, :, None] * dr)
+                      * K3[:, :, None])
+            return f_q + f_d + f_quad
+
+        def bn_kernels(r, r2s, mask, within):
+            ar = alpha * r
+            exp2a = jnp.exp(-ar * ar)
+            if dt == jnp.float64:
+                erfc_ar = jax.scipy.special.erfc(ar)
+            else:
+                erfc_ar = _erfc_f32_local(ar, exp2a)
+            inv_r2 = 1.0 / r2s
+            b0 = erfc_ar / r
+            alsq2 = 2.0 * alpha * alpha
+            alsq2n = (1.0 / (SQRT_PI * alpha)) * alsq2
+            b1 = (b0 + alsq2n * exp2a) * inv_r2
+            alsq2n = alsq2n * alsq2
+            b2 = (3.0 * b1 + alsq2n * exp2a) * inv_r2
+            alsq2n = alsq2n * alsq2
+            b3 = (5.0 * b2 + alsq2n * exp2a) * inv_r2
+            alsq2n = alsq2n * alsq2
+            b4 = (7.0 * b3 + alsq2n * exp2a) * inv_r2
+            w = (mask & within).astype(dt)
+            return (b0 * w, b1 * w, (b2 / 3.0) * w, (b3 / 15.0) * w,
+                    (b4 / 105.0) * w)
+
+        def thole_lams(p, r, mask):
+            dd = damp[:, None] * damp[None, :]
+            dd = jnp.where(dd > 0, dd, 1.0)
+            a_th = jnp.minimum(p["thole"][:, None], p["thole"][None, :])
+            uu = a_th * (r / dd) ** 3
+            expu = jnp.exp(-jnp.minimum(uu, 50.0))
+            lam3 = jnp.where(mask, 1.0 - expu, 0.0)
+            lam5 = jnp.where(mask, 1.0 - (1.0 + uu) * expu, 0.0)
+            lam7 = jnp.where(mask,
+                             1.0 - (1.0 + uu + 0.6 * uu * uu) * expu, 0.0)
+            return lam3, lam5, lam7
+
+        def fields_and_energy(pos, box, p, gp):
+            charge, d_lab, q_lab, dr, r, r2s, mask = pair_data(pos, box, p)
+            within = r2s < cutoff * cutoff
+            C = contractions(charge, d_lab, q_lab, dr)
+            inv_r = 1.0 / r
+            inv_r2 = inv_r * inv_r
+            inv_r3 = inv_r * inv_r2
+            inv_r5 = inv_r3 * inv_r2
+            inv_r7 = inv_r5 * inv_r2
+            inv_r9 = inv_r7 * inv_r2
+            K = bn_kernels(r, r2s, mask, within)
+            wplain = mask.astype(dt)
+            e_full = tensor_energy(C, *K)
+            e_plain = tensor_energy(C, inv_r * wplain, inv_r3 * wplain,
+                                    inv_r5 * wplain, inv_r7 * wplain,
+                                    inv_r9 * wplain)
+            e_real = 0.5 * ONE_4PI_EPS0 * jnp.sum(
+                (e_full + (m_s - 1.0) * e_plain).astype(accum))
+
+            # permanent field: full Bn minus (1 - d_s*thole)-damped plain
+            lam3, lam5, lam7 = thole_lams(p, r, mask)
+            f_full = tensor_field(C, dr, d_lab, K[1], K[2], K[3])
+            sub3 = (1.0 - d_s * lam3) * inv_r3 * wplain
+            sub5 = (1.0 - d_s * lam5) * inv_r5 * wplain
+            sub7 = (1.0 - d_s * lam7) * inv_r7 * wplain
+            f_sub = tensor_field(C, dr, d_lab, sub3, sub5, sub7)
+            field_real = jnp.sum(f_full - f_sub, axis=1)
+
+            def e_recip_of_dip(dd):
+                return recip_energy(pos, box, charge, dd, q_lab)
+            e_recip_perm, g_dip = jax.value_and_grad(e_recip_of_dip)(d_lab)
+            field_recip = -g_dip / ONE_4PI_EPS0
+            self_term = (4.0 / 3.0) * alpha ** 3 / SQRT_PI
+            e_field = field_real + field_recip + self_term * d_lab
+
+            # permanent self energy (the induced cross term arrives through
+            # e_pol with the self field above)
+            a2 = alpha * alpha
+            # quad coefficient for OUR (1/3) Theta:grad grad density
+            # convention: (ke/2)(1/9) Theta:Theta d4[erf(ar)/r](0) ->
+            # -(8/45) a^4 ke a/sqrt(pi) Theta:Theta (the reference's 4/15
+            # applies to its 3x-scaled spherical components)
+            e_self = (-ONE_4PI_EPS0 * alpha / SQRT_PI) * (
+                jnp.sum(charge * charge)
+                + (2.0 / 3.0) * a2 * jnp.sum(d_lab * d_lab)
+                + (8.0 / 45.0) * a2 * a2 * jnp.sum(q_lab * q_lab))
+            e_perm = e_real + e_recip_perm.astype(accum) \
+                + e_self.astype(accum)
+            geom_cache = (pos, box, charge, q_lab, dr, r, r2s, mask, within,
+                          lam3, lam5)
+            return e_perm, e_field, geom_cache
+
+        def induce(p, e_field, geom_cache):
+            (pos, box, charge, q_lab, dr, r, r2s, mask, within,
+             lam3, lam5) = geom_cache
+            alpha_pol = p["polarity"][:, None]
+            inv_r = 1.0 / r
+            inv_r2 = inv_r * inv_r
+            inv_r3 = inv_r * inv_r2
+            inv_r5 = inv_r3 * inv_r2
+            K = bn_kernels(r, r2s, mask, within)
+            wplain = mask.astype(dt)
+            sub3 = (1.0 - u_sj * lam3) * inv_r3 * wplain
+            sub5 = (1.0 - u_sj * lam5) * inv_r5 * wplain
+            self_term = (4.0 / 3.0) * alpha ** 3 / SQRT_PI
+            zq = jnp.zeros(n, dt)
+            zQ = jnp.zeros((n, 3, 3), dt)
+
+            def dipole_field(mu):
+                mu_r = jnp.einsum("jk,ijk->ij", mu, dr)
+
+                def fd(k2, k3):
+                    return (3.0 * mu_r[:, :, None] * dr * k3[:, :, None]
+                            - mu[None, :, :] * k2[:, :, None])
+                f_real = jnp.sum(fd(K[1], K[2]) - fd(sub3, sub5), axis=1)
+
+                def e_recip_mu(mm):
+                    return recip_energy(pos, box, zq, mm, zQ)
+                f_recip = -jax.grad(e_recip_mu)(mu) / ONE_4PI_EPS0
+                return f_real + f_recip + self_term * mu
+
+            mu0 = alpha_pol * e_field
+            if polarization == AmoebaMultipoleForce.Direct:
+                return mu0
+            if polarization == AmoebaMultipoleForce.Extrapolated:
+                mus = [mu0]
+                for _ in range(len(ext_coeffs) - 1):
+                    mus.append(alpha_pol * (e_field + dipole_field(mus[-1])))
+                return sum(c * m for c, m in zip(ext_coeffs, mus))
+            omega = 0.7
+
+            def body(i, mu):
+                new = alpha_pol * (e_field + dipole_field(mu))
+                return (1 - omega) * mu + omega * new
+
+            return jax.lax.fori_loop(0, max_iter, body, mu0)
+
+        def energy_fn(pos, box, p, gp):
+            e_perm, e_field, geom_cache = fields_and_energy(pos, box, p, gp)
+            mu = induce(p, e_field, geom_cache)
+            e_pol = -0.5 * ONE_4PI_EPS0 * jnp.sum(mu * e_field)
+            return e_perm + e_pol.astype(accum)
+
+        cf = CompiledForce(name=self.getName(),
+                           force_group=self.getForceGroup(),
+                           params=params, energy_fn=energy_fn,
+                           uses_pbc=True)
 
         def induced_fn(pos, box, p, gp):
             _, e_field, geom_cache = fields_and_energy(pos, box, p, gp)

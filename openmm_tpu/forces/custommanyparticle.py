@@ -87,6 +87,27 @@ class CustomManyParticleForce(Force, _CustomMixin):
     def getExclusionParticles(self, index):
         return self._exclusions[index]
 
+    def createExclusionsFromBonds(self, bonds, bondCutoff):
+        """Exclude particle pairs within bondCutoff bonds of each other
+        (CustomManyParticleForce.cpp createExclusionsFromBonds)."""
+        bonded = {}
+        for b1, b2 in bonds:
+            bonded.setdefault(int(b1), set()).add(int(b2))
+            bonded.setdefault(int(b2), set()).add(int(b1))
+        excl = set()
+        for i in bonded:
+            cur = {i}
+            for _ in range(bondCutoff):
+                nxt = set()
+                for a in cur:
+                    nxt |= bonded.get(a, set())
+                cur = nxt
+                for j in cur:
+                    if j != i:
+                        excl.add((min(i, j), max(i, j)))
+        for (i, j) in sorted(excl):
+            self.addExclusion(i, j)
+
     def getPermutationMode(self):
         return self._mode
 

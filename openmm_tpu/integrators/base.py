@@ -48,6 +48,31 @@ class StepDeps:
     n_molecules: int = 0
 
 
+def commit_positions(state, old_pos, new_pos):
+    """Write integrated positions into the state.
+
+    When the Context carries a `pos_lo` compensation plane (mixed
+    precision), the update runs as a TwoSum so positions accumulate with
+    ~f64-equivalent precision while forces stay f32 — the TPU-native analog
+    of the reference's posq correction arrays (ComputeContext.h:309).
+    Mutates and returns `state` (callers pass their own dict copy).
+    """
+    if "pos_lo" not in state:
+        state["positions"] = new_pos
+        return state
+    import jax.numpy as jnp
+    d = new_pos - old_pos
+    s = old_pos + d
+    bp = s - d
+    err = (old_pos - bp) + (d - (s - bp))
+    lo = state["pos_lo"] + err
+    hi = s + lo
+    lo = lo - (hi - s)
+    state["positions"] = hi
+    state["pos_lo"] = lo
+    return state
+
+
 class Integrator(object):
     """Base integrator (openmmapi/include/openmm/Integrator.h)."""
 

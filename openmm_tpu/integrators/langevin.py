@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .. import unit as u
 from ..constants import BOLTZ
 from ..exceptions import OpenMMException
-from .base import Integrator
+from .base import Integrator, commit_positions
 
 
 class _StochasticMixin:
@@ -84,7 +84,7 @@ class LangevinIntegrator(_StochasticMixin, Integrator):
             vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = vnew
             state["key"] = key
             state["time"] = state["time"] + dt.astype(state["time"].dtype)
@@ -146,7 +146,7 @@ class LangevinMiddleIntegrator(_StochasticMixin, Integrator):
             v_final = v_o + jnp.where(moving, (new_pos - pos - jnp.where(moving, delta, 0.0)) / dt, 0.0)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = v_final
             state["key"] = key
             state["time"] = state["time"] + dt.astype(state["time"].dtype)
@@ -196,7 +196,7 @@ class BrownianIntegrator(_StochasticMixin, Integrator):
             vnew = jnp.where(moving, (new_pos - pos) / dt, state["velocities"])
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = vnew
             state["key"] = key
             state["time"] = state["time"] + dt.astype(state["time"].dtype)

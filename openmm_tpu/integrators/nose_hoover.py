@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .. import unit as u
 from ..constants import BOLTZ
-from .base import Integrator
+from .base import Integrator, commit_positions
 
 _YS_WEIGHTS = {
     1: [1.0],
@@ -187,7 +187,7 @@ class NoseHooverIntegrator(Integrator):
                               0.0)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = v
             state["aux"] = dict(aux, nh_pos=nh_pos, nh_vel=nh_vel)
             state["time"] = state["time"] + dt.astype(state["time"].dtype)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from .. import unit as u
 from ..constants import BOLTZ
-from .base import Integrator
+from .base import Integrator, commit_positions
 from .langevin import _StochasticMixin
 
 
@@ -76,7 +76,7 @@ class VariableVerletIntegrator(Integrator):
             vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = vnew
             state["iparams"] = dict(ip, dt=dt.astype(ip["dt"].dtype))
             state["time"] = state["time"] + dt.astype(state["time"].dtype)
@@ -147,7 +147,7 @@ class VariableLangevinIntegrator(_StochasticMixin, Integrator):
             vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = vnew
             state["key"] = key
             state["iparams"] = dict(ip, dt=dt.astype(ip["dt"].dtype))

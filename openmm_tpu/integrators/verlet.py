@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .base import Integrator
+from .base import Integrator, commit_positions
 
 
 class VerletIntegrator(Integrator):
@@ -34,7 +34,7 @@ class VerletIntegrator(Integrator):
             vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
-            state["positions"] = new_pos
+            state = commit_positions(state, pos, new_pos)
             state["velocities"] = vnew
             state["time"] = state["time"] + dt.astype(state["time"].dtype)
             state["step"] = state["step"] + 1

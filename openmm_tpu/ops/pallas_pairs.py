@@ -142,16 +142,45 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     # dummy block far outside any box
     feat = feat.at[nb, 0:3].set(jnp.float32(1.0e7))
 
-    # exclusions: original-id entries -> sorted slot ids
+    # exclusions + self pairs -> per-tile packed bitmasks (the reference's
+    # tile exclusion masks, nonbonded.cu exclusions[] — one bit per
+    # (row atom, column lane), 2 int32 words per row): the kernel pays a
+    # constant ~6-op unpack per tile instead of 2*E compares per slot,
+    # which keeps protein-scale exclusion lists (E ~ 12-20) free
     if exclusions is not None and int(exclusions.shape[1]) > 0:
-        n_excl = int(exclusions.shape[1])
         excl_o = exclusions[order]                          # (n_pad, E)
         excl_slot = jnp.where(excl_o >= 0, inv_order[excl_o], -1)
-        excl_planes = jnp.transpose(
-            excl_slot.astype(f32).reshape(nb, block, n_excl),
-            (0, 2, 1))                                      # (nb, E, 64)
+        entries = jnp.concatenate(
+            [excl_slot, jnp.arange(n_pad, dtype=jnp.int32)[:, None]], axis=1)
     else:
-        excl_planes = jnp.zeros((nb, 1, block), f32) - 1.0
+        entries = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
+    e1 = entries.shape[1]
+    be = jnp.where(entries >= 0, entries // block, -1)
+    le = jnp.where(entries >= 0, entries % block, 0)
+    berb = be.reshape(nb, block, e1)
+    lerb = le.reshape(nb, block, e1)
+
+    def mask_chunk(cand_chunk):
+        # (nb, mcc, 64, E1) transient, chunked over candidate slots.
+        # FLOAT words, 16 bits each (exact below 2^24): Mosaic rejects both
+        # vector shifts and int-bool bitcasts, so the kernel tests bits with
+        # float floor/parity arithmetic instead
+        m = cand_chunk[:, :, None, None] == berb[:, None, :, :]
+        # XLA's exp2 is an approximation; integer shifts are exact
+        sh = jnp.left_shift(jnp.int32(1),
+                            (lerb % 16)).astype(f32)[:, None, :, :]
+        words = []
+        for wdx in range(4):
+            sel = m & (lerb[:, None] // 16 == wdx)
+            words.append(jnp.sum(jnp.where(sel, sh, 0.0), axis=3))
+        # words on the SUBLANE axis, row atoms on lanes
+        return jnp.stack(words, axis=2)                     # (nb, mcc, 4, 64)
+
+    chunks = []
+    step = 16
+    for c0 in range(0, max_cols, step):
+        chunks.append(mask_chunk(code[:, c0:c0 + step]))
+    excl_bits = jnp.concatenate(chunks, axis=1)             # (nb, mc, 64, 2)
 
     # per-step coordinate refresh data: sorted-frame offsets (current box);
     # indices stored BLOCKED so per-step gathers produce (nb, 64) planes
@@ -161,7 +190,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
             "rWa": W_s[:, 0].reshape(nb, block),
             "rWb": W_s[:, 1].reshape(nb, block),
             "rWc": W_s[:, 2].reshape(nb, block),
-            "feat": feat, "code": code, "excl": excl_planes,
+            "feat": feat, "code": code, "excl_bits": excl_bits,
             "count": count, "overflow": overflow}
 
 
@@ -178,12 +207,11 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
 
     feat = st["feat"]
     code = st["code"]
-    excl_planes = st["excl"]
+    excl_bits = st["excl_bits"]
     order = st["order"]
     inv_order = st["inv_order"]
     nb = feat.shape[0] - 1
     n_pad = nb * block
-    n_excl = excl_planes.shape[1]
     max_cols = code.shape[1]
     f32 = jnp.float32
     boxf = box.astype(f32)
@@ -210,7 +238,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                          1.0 / boxf[0, 0], 1.0 / boxf[1, 1],
                          1.0 / boxf[2, 2], 0.0, 0.0, 0.0]], f32)
 
-    kernel = functools.partial(_kernel_body, n_excl=n_excl,
+    kernel = functools.partial(_kernel_body,
                                mode=int(mode), kc=COLS_PER_TILE, b=block,
                                want_energy=bool(want_energy))
     grid = (nb, max_cols // COLS_PER_TILE)
@@ -223,6 +251,11 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
             lambda r, c, code, cnt, k=k: (
                 code[r, COLS_PER_TILE * c + k], r * 0, r * 0))
 
+    # per-lane reciprocal bit weights for the float bitmask test (kernels
+    # cannot capture array constants; rows identical, read as (1, 64))
+    lanebit = jnp.broadcast_to(jnp.asarray(
+        np.exp2(-(np.arange(block) % 16)).astype(np.float32)), (8, block))
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -231,19 +264,21 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
             in_specs=[
                 pl.BlockSpec((1, 16), lambda r, c, code, cnt: (r * 0, r * 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, block),
+                             lambda r, c, code, cnt: (r * 0, r * 0)),
                 pl.BlockSpec((1, 6, block),
                              lambda r, c, code, cnt: (r, r * 0, r * 0)),
             ] + [col_spec(k) for k in range(COLS_PER_TILE)] + [
-                pl.BlockSpec((1, n_excl, block),
-                             lambda r, c, code, cnt: (r, r * 0, r * 0)),
+                pl.BlockSpec((1, COLS_PER_TILE, 4, block),
+                             lambda r, c, code, cnt: (r, c, r * 0, r * 0)),
             ],
             out_specs=pl.BlockSpec((1, 4, block),
                                    lambda r, c, code, cnt: (r, r * 0, r * 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 4, block), f32),
         interpret=interpret,
-    )(code, st["count"], consts, *([feat] * (COLS_PER_TILE + 1)),
-      excl_planes)
+    )(code, st["count"], consts, lanebit, *([feat] * (COLS_PER_TILE + 1)),
+      excl_bits)
 
     fx = out[:, 0, :].reshape(n_pad)[inv_order]
     fy = out[:, 1, :].reshape(n_pad)[inv_order]
@@ -266,12 +301,12 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     return e, f, st["overflow"]
 
 
-def _kernel_body(code_ref, count_ref, consts_ref, row_ref, *rest, n_excl,
-                 mode, kc, b, want_energy=True):
+def _kernel_body(code_ref, count_ref, consts_ref, lanebit_ref, row_ref,
+                 *rest, mode, kc, b, want_energy=True):
     import jax.experimental.pallas as pl
 
     col_refs = rest[:kc]
-    excl_ref, out_ref = rest[kc:]
+    bits_ref, out_ref = rest[kc:]
     ri = pl.program_id(0)
     ci = pl.program_id(1)
 
@@ -281,13 +316,13 @@ def _kernel_body(code_ref, count_ref, consts_ref, row_ref, *rest, n_excl,
 
     @pl.when(ci * kc < count_ref[ri])
     def _():
-        _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
-                      out_ref, ri, ci, n_excl=n_excl, mode=mode, kc=kc, b=b,
+        _tile_compute(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
+                      bits_ref, out_ref, ri, ci, mode=mode, kc=kc, b=b,
                       want_energy=want_energy)
 
 
-def _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
-                  out_ref, ri, ci, *, n_excl, mode, kc, b,
+def _tile_compute(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
+                  bits_ref, out_ref, ri, ci, *, mode, kc, b,
                   want_energy=True):
     import jax.experimental.pallas as pl  # noqa: F401
 
@@ -306,16 +341,7 @@ def _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
     inv_cz = consts_ref[0, 12]
 
     row = row_ref[0]                                       # (8, b)
-
-    # column slot ids derive from the candidate block ids (the same codes
-    # that drove the DMA via the index maps)
-    cgid_parts = []
-    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-    for k in range(kc):
-        bid = code_ref[ri, ci * kc + k]
-        cgid_parts.append(bid * b + iota_lane)
-    cols = jnp.concatenate([ref[0] for ref in col_refs], axis=1)  # (8,kc*b)
-    cgid = jnp.concatenate(cgid_parts, axis=1).astype(jnp.float32)
+    cols = jnp.concatenate([ref[0] for ref in col_refs], axis=1)  # (6,kc*b)
 
     def rvec(k):
         return row[k:k + 1, :].reshape(b, 1)
@@ -338,15 +364,32 @@ def _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
     dx = dx - sa * box_ax
     r2 = dx * dx + dy * dy + dz * dz
 
-    # self-pairs masked via sorted slot ids; exclusions via slot-id planes;
-    # padded atoms carry q=0/eps=0 (zero contribution); the dummy block
-    # sits far away so invalid slots fail the cutoff test
-    rgid = (ri * b + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-            ).astype(jnp.float32)
-    mask = (rgid != cgid) & (r2 < rc2)
-    for e in range(n_excl):
-        mask = mask & (excl_ref[0, e:e + 1, :].reshape(b, 1) != cgid)
-    r2s = jnp.where(mask, jnp.maximum(r2, 2e-6), 1.0)
+    # exclusions + self pairs via the packed per-tile bitmask (bit j of
+    # word j//32 in bits[k, i, :] masks column lane j against row atom i);
+    # padded atoms carry q=0/eps=0 and the dummy block sits far away, so
+    # no other validity test is needed
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    # float bit test: bit j of word w = parity of floor(w * 2^-(j%16));
+    # all-f32 arithmetic (Mosaic rejects vector shifts / int-bool bitcasts)
+    inv_bit = lanebit_ref[0:1, :]
+    notex_parts = []
+    for k in range(kc):
+        w = bits_ref[0, k]                                  # (4, b) f32
+        w01 = jnp.where(lane < 16, w[0:1, :].reshape(b, 1),
+                        w[1:2, :].reshape(b, 1))
+        w23 = jnp.where(lane < 48, w[2:3, :].reshape(b, 1),
+                        w[3:4, :].reshape(b, 1))
+        wsel = jnp.where(lane < 32, w01, w23)               # (b, b)
+        t = jnp.floor(wsel * inv_bit)
+        # words hold exact <2^16 ints, so parity is exactly 0.0 or 1.0
+        parity = t - 2.0 * jnp.floor(0.5 * t)
+        notex_parts.append(1.0 - parity)
+    # all-float mask path: Mosaic rejects concatenation of i1 vregs, so the
+    # per-slab not-excluded flags stay f32 and the cutoff test folds in via
+    # a where instead of a bool AND
+    notex = jnp.concatenate(notex_parts, axis=1)            # (b, kc*b) f32
+    scale = jnp.where(r2 < rc2, notex, 0.0)
+    r2s = jnp.where(scale > 0.5, jnp.maximum(r2, 2e-6), 1.0)
 
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
@@ -372,7 +415,6 @@ def _tile_compute(code_ref, consts_ref, row_ref, col_refs, excl_ref,
     else:
         de_c = -0.5 * qq * inv_r2 * inv_r
 
-    scale = mask.astype(jnp.float32)
     dedr2 = (de_lj + de_c) * scale
 
     fx = -2.0 * jnp.sum(dedr2 * dx, axis=1).reshape(1, b)

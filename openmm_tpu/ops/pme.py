@@ -143,14 +143,46 @@ def _bspline_moduli(grid_size, order):
     return bsq
 
 
-def make_pme_recip_data(grid, order, dtype=np.float64):
-    """Precompute per-axis |b|^2 moduli. Returns dict of numpy arrays."""
+def _zeta_correction(size, order, jcut=50):
+    """TINKER's optimal influence-function factor zeta(k)^2 (the 'optimal
+    zeta coefficient' of AmoebaReferenceMultipoleForce.cpp:5049-5076):
+    dividing the moduli by zeta^2 cancels the leading aliasing error of
+    derivative spreads, which is what lets AMOEBA run sharp alpha on
+    coarse grids."""
+    zeta2 = np.ones(size)
+    for i in range(1, size + 1):
+        k = i - 1
+        if i > size // 2:
+            k -= size
+        if k == 0:
+            continue
+        factor = math.pi * k / size
+        sum1 = 1.0
+        sum2 = 1.0
+        for j in range(1, jcut + 1):
+            arg = factor / (factor + math.pi * j)
+            sum1 += arg ** order
+            sum2 += arg ** (2 * order)
+        for j in range(1, jcut + 1):
+            arg = factor / (factor - math.pi * j)
+            sum1 += arg ** order
+            sum2 += arg ** (2 * order)
+        zeta = sum2 / sum1
+        zeta2[i - 1] = zeta * zeta
+    return zeta2
+
+
+def make_pme_recip_data(grid, order, dtype=np.float64, zeta=False):
+    """Precompute per-axis 1/|b|^2 moduli (optionally with the TINKER
+    optimal-zeta correction used by AMOEBA). Returns dict of numpy arrays."""
     nx, ny, nz = grid
-    return {
-        "bsq_x": _bspline_moduli(nx, order).astype(dtype),
-        "bsq_y": _bspline_moduli(ny, order).astype(dtype),
-        "bsq_z": _bspline_moduli(nz, order).astype(dtype),
-    }
+    out = {}
+    for key, g in (("bsq_x", nx), ("bsq_y", ny), ("bsq_z", nz)):
+        bsq = _bspline_moduli(g, order)
+        if zeta:
+            bsq = bsq / _zeta_correction(g, order)
+        out[key] = bsq.astype(dtype)
+    return out
 
 
 def spread_charges_dense(pos, charges, box_inv, grid, order, dtype,
@@ -311,6 +343,87 @@ def _k_vectors(grid, box_inv, dtype):
     ky = (my[None, :, None, None] * bi.T[None, None, None, 1, :])
     kz = (mz[None, None, :, None] * bi.T[None, None, None, 2, :])
     return kx + ky + kz  # (nx, ny, nz, 3)
+
+
+def recip_energy_from_grid(Q, box, grid, alpha, bsq_x, bsq_y, bsq_z,
+                           accum_dtype):
+    """Coulomb reciprocal energy of an arbitrary (nx, ny, nz) real charge
+    grid (the convolution half of pme_reciprocal_energy; used by the
+    AMOEBA multipole PME, whose grid carries dipole/quadrupole spreads)."""
+    from . import geometry as geom
+    box_inv = geom.box_inverse(box)
+    vol = geom.box_volume(box)
+    if max(grid) <= 128:
+        mats = tuple(
+            tuple(jnp.asarray(m.astype(Q.dtype)) for m in _dft_matrices(g))
+            for g in grid)
+        sq = dft3_power(Q, mats).astype(accum_dtype)
+    else:
+        FQ = jnp.fft.fftn(Q)
+        sq = (FQ * jnp.conj(FQ)).real.astype(accum_dtype)
+    kvec = _k_vectors(grid, box_inv, accum_dtype)
+    m2 = jnp.sum(kvec * kvec, axis=-1)
+    B = (bsq_x[:, None, None] * bsq_y[None, :, None]
+         * bsq_z[None, None, :]).astype(accum_dtype)
+    m2_safe = jnp.where(m2 > 0, m2, 1.0)
+    kernel = jnp.exp(-(jnp.pi ** 2) * m2_safe / (alpha ** 2)) / m2_safe
+    kernel = jnp.where(m2 > 0, kernel, 0.0)
+    return ONE_4PI_EPS0 / (2.0 * jnp.pi * vol) * jnp.sum(kernel * B * sq)
+
+
+def dense_axis_weights(w, base, offs_minus, n_axis):
+    """Expand (N, order) spline weights into dense (N, n_axis) planes at
+    grid points (base + j - offs_minus) mod n_axis."""
+    order = w.shape[-1]
+    lane = jnp.arange(n_axis, dtype=jnp.int32)[None, :]
+    acc = jnp.zeros((w.shape[0], n_axis), w.dtype)
+    for j in range(order):
+        g = jnp.mod(base + (j - offs_minus), n_axis)[:, None]
+        acc = acc + jnp.where(lane == g, w[:, j:j + 1], 0.0)
+    return acc
+
+
+def bspline_w_dw_d2w(t, order):
+    """(M, dM/du, d2M/du2) weight stacks of shape (..., order) for the
+    grid-point convention of bspline_weights (weight j sits at
+    floor(u) + j - (order-1)); derivative identities
+    dM_n(u) = M_{n-1}(u) - M_{n-1}(u-1),
+    d2M_n(u) = M_{n-2}(u) - 2 M_{n-2}(u-1) + M_{n-2}(u-2)."""
+    shape = t.shape
+    zeros = jnp.zeros(shape, t.dtype)
+    w = [jnp.zeros(shape, t.dtype) for _ in range(order)]
+    w[0] = 1.0 - t
+    w[1] = t
+    w2 = None
+    w3 = None
+    for k in range(3, order + 1):
+        if k == order - 1:
+            w2 = [x for x in w]       # order-(n-2) weights
+        if k == order:
+            w3 = [x for x in w]       # order-(n-1) weights
+        div = 1.0 / (k - 1)
+        new = [None] * order
+        new[k - 1] = div * t * w[k - 2]
+        for j in range(1, k - 1):
+            new[k - 1 - j] = div * ((t + j) * w[k - 2 - j]
+                                    + (k - j - t) * w[k - 1 - j])
+        new[0] = div * (1.0 - t) * w[0]
+        for j in range(k):
+            w[j] = new[j]
+    if w3 is None:                    # order == 2
+        w3 = [zeros] * order
+    if w2 is None:
+        w2 = [zeros] * order
+
+    def at(lst, j, width):
+        return lst[j] if 0 <= j <= width else zeros
+
+    dw = [at(w3, j - 1, order - 2) - at(w3, j, order - 2)
+          for j in range(order)]
+    d2w = [at(w2, j - 2, order - 3) - 2.0 * at(w2, j - 1, order - 3)
+           + at(w2, j, order - 3) for j in range(order)]
+    return (jnp.stack(w, axis=-1), jnp.stack(dw, axis=-1),
+            jnp.stack(d2w, axis=-1))
 
 
 def pme_reciprocal_energy(pos, charges, box, grid, order, alpha, bsq_x, bsq_y,

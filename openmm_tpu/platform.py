@@ -77,8 +77,19 @@ class Platform(object):
 
     @staticmethod
     def findPlatform(kernelNames=()):
+        # the TPU platform is only "available" when a non-CPU JAX backend
+        # exists (Platform::findPlatform availability semantics); otherwise
+        # its Pallas kernels cannot compile
+        import jax
+        try:
+            has_accel = any(d.platform not in ("cpu",)
+                            for d in jax.devices())
+        except Exception:
+            has_accel = False
         best = None
         for p in _registry.values():
+            if p.getName() == "TPU" and not has_accel:
+                continue
             if best is None or p.getSpeed() > best.getSpeed():
                 best = p
         if best is None:

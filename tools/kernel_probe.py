@@ -100,12 +100,13 @@ def main():
     # kernel): monkeypatch the kernel body to a copy
     orig = pp._tile_compute
 
-    def skeleton(code_ref, consts_ref, row_ref, col_refs, excl_ref,
-                 out_ref, ri, ci, *, n_excl, mode, kc, b):
-        acc = row_ref[0, 0:1, :]
+    def skeleton(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
+                 bits_ref, out_ref, ri, ci, *, mode, kc, b,
+                 want_energy=True):
+        acc = row_ref[0][0:1, :]
         for ref in col_refs:
-            acc = acc + ref[0, 0:1, :]
-        out_ref[0, 0:1] = out_ref[0, 0:1] + acc
+            acc = acc + ref[0][0:1, :]
+        out_ref[0] = out_ref[0] + jnp.broadcast_to(acc, out_ref[0].shape)
     pp._tile_compute = skeleton
 
     def skel_loop(p):
