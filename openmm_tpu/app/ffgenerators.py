@@ -967,3 +967,6 @@ class DrudeGenerator(object):
 
 
 PARSERS["DrudeForce"] = DrudeGenerator.parseElement
+
+# AMOEBA family registers itself into the same PARSERS dict
+from . import ffgenerators_amoeba  # noqa: E402,F401  (registration import)

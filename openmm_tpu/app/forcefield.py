@@ -502,6 +502,17 @@ class ForceField(object):
                 keys = [key] if kind == "type" else self._class_types(key)
                 for k in keys:
                     self._gbsa_params[k] = (charge, radius, scale)
+        # serialized generator sections (CMAP, NBFIX, Custom*, Drude,
+        # AMOEBA, Patches) -> same registry as the XML path
+        if data.get("sections"):
+            from . import ffgenerators
+            for text in data["sections"]:
+                child = etree.fromstring(text)
+                if child.tag == "Patches":
+                    for pnode in child.findall("Patch"):
+                        self._parse_patch(pnode)
+                elif child.tag in ffgenerators.PARSERS:
+                    ffgenerators.PARSERS[child.tag](child, self)
 
     def _class_types(self, cls):
         return [t.name for t in self._atomTypes.values() if t.atomClass == cls]
@@ -1100,13 +1111,23 @@ class ForceField(object):
         # ---- registered generators (parser sections + user callbacks) ----------
         data = _SystemData(atoms, atom_type, bonds, angles, propers,
                            template_info)
+        data.atomBonds = [[] for _ in atoms]
         for (i, j) in bonds:
             b = _BondData(i, j)
             key = (min(i, j), max(i, j))
-            b.isConstrained = key in constrained_bonds
+            b.isConstrained = (key in constrained_bonds
+                               or want_bond_constraint(i, j))
             b.length = bond_r0.get(key, 0.0)
+            data.atomBonds[i].append(len(data.bonds))
+            data.atomBonds[j].append(len(data.bonds))
             data.bonds.append(b)
         data.bondedToAtom = neigh
+        data.constrainedPairs = constrained_bonds   # dedup set, shared
+        data.isAngleConstrained = [
+            (constraints is HAngles and is_h(a) and is_h(c))
+            or (rigidWater and is_water[a] and is_water[j]
+                and is_water[c])
+            for (a, j, c) in angles]
         args = dict(kwargs)
         args.setdefault("switchDistance",
                         None if switchDistance is None

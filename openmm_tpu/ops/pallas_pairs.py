@@ -2,33 +2,34 @@
 
 The hand-scheduled twin of pairs.rows_ef_from_state (itself the TPU recast
 of the reference's warp tile kernel, platforms/cuda/src/kernels/
-nonbonded.cu:44-106), v3: BLOCK-GRANULAR candidate tiles.
+nonbonded.cu:44-106), v4: COMPACTED CONTIGUOUS candidate slabs.
 
 Design notes (what the TPU dictates):
-* Candidate COLUMN DATA reaches the kernel through BlockSpec index maps
-  driven by a scalar-prefetched candidate list — the DMA engine performs
-  the gather at 64-atom-block granularity. Finer granularities lose on
-  this hardware: XLA's atom-level gather runs at ~0.13 Gelem/s (a
-  (nb x C) compacted-column coordinate gather would cost ~9 ms/step at
-  DHFR scale), Mosaic's in-kernel gather cannot cross vector registers,
-  and sub-block DMA is issue-bound (~45 ns per block DMA). Block tiles
-  waste ~2.5x more pair slots than atom-compacted columns, but every
-  byte moves at full DMA speed.
+* Candidate column data is COMPACTED into per-row-block contiguous slabs,
+  because per-block DMA issue dominates otherwise (~45 ns per DMA issue;
+  the v3 scalar-prefetched block-gather design spent ~3.7 ms/step on ~80k
+  DMA issues at DHFR scale — measured). Static parameters and exclusion
+  bitmasks are compacted once at neighbor-list build; positions are
+  re-compacted every step with one XLA block-row gather (768 B rows move
+  at ~60 GB/s here, ~0.7 ms at DHFR scale; ELEMENT gathers run at
+  0.13 Gelem/s and are unusable). The kernel then reads ~3 fat DMAs per
+  (row block, chunk) instead of 17 small ones.
 * Minimum image is the staged triclinic reduction per pair inside the
   tile (build-time per-block-pair shifts were tried and rejected: they
   require half_r + half_c + cutoff < box/2 for EVERY close block pair,
   which rare tall straddling blocks violate on legal boxes).
 * Lorentz-Berthelot folding: the shared feature planes carry sqrt(k_e)*q,
   sigma/2 and 2*sqrt(eps), so in-tile mixing is one add / one multiply.
-* Tile skipping: candidates are validity-sorted; a scalar-prefetched
-  per-row count skips the invalid tail of the sweep, so compute follows
-  the true candidate distribution, not the padded capacity.
+* Candidates are ordered [has-exclusions | plain | invalid]: per-row
+  scalar counts let the sweep skip the invalid tail entirely and run the
+  (expensive) float-parity exclusion unpack only on chunks that can
+  contain an excluded pair.
 
-Data layout: per-block feature planes (nb+1, 8, 64) f32 with rows
-[x, y, z, sqrt(k_e)q, sigma/2, 2*sqrt(eps), 0, 0]; the final block is a
-far-away dummy that invalid candidate slots point to. Exclusions are
-(nb, E, 64) sorted-slot-id planes compared against column slot ids
-(derived in-kernel from the candidate block ids).
+Data layout: row features (nb, 6, 64) f32 planes [x, y, z, sqrt(k_e)q,
+sigma/2, 2*sqrt(eps)]; candidate slabs (nb, 3, mcc*64) for positions
+(refreshed per step) and folded static parameters (built once); exclusion
+bitmasks (nb, mcc, 4, 64) float words, 16 bits per word. Invalid slots
+point at a far-away dummy block whose pairs fail the cutoff.
 """
 from __future__ import annotations
 
@@ -45,7 +46,7 @@ MODE_RF = 1         # reaction field: 1/r + krf r^2 - crf
 MODE_PLAIN = 2      # plain 1/r with cutoff
 
 _TWO_OVER_SQRT_PI = 1.1283791670955126
-COLS_PER_TILE = 16
+COLS_PER_TILE = 32
 
 
 def _erfc_poly_fast(x, exp_x2):
@@ -80,7 +81,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     nb = n_pad // block
     f32 = jnp.float32
     max_cols = min(max_cols, nb)
-    max_cols = ((max_cols + COLS_PER_TILE - 1)
+    mc_round = ((max_cols + COLS_PER_TILE - 1)
                 // COLS_PER_TILE) * COLS_PER_TILE
 
     # ---- wrap bookkeeping: pos = pos_w + W @ box with integer W
@@ -124,6 +125,35 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
                 - jnp.sum(cand_valid.astype(jnp.int32))).astype(jnp.int32)
     # invalid slots -> the dummy far block nb (its pairs fail the cutoff)
     code = jnp.where(cand_valid, cand, nb).astype(jnp.int32)
+
+    # candidate blocks that can contain an excluded/self pair: blocks whose
+    # sorted slots appear in this row block's exclusion entries.  Order the
+    # candidate list [exclusion-carrying | plain | invalid] so the kernel
+    # only unpacks bitmasks on the leading chunks (excl_count) and can
+    # skip the invalid tail (count)
+    row_blk = jnp.arange(nb, dtype=jnp.int32)[:, None]
+    if exclusions is not None and int(exclusions.shape[1]) > 0:
+        excl_o_pre = exclusions[order]
+        excl_slot_pre = jnp.where(excl_o_pre >= 0,
+                                  inv_order[jnp.clip(excl_o_pre, 0)], -1)
+        excl_blk = jnp.where(excl_slot_pre >= 0,
+                             excl_slot_pre // block, -1)    # (n_pad, E)
+        excl_blk = excl_blk.reshape(nb, block * excl_blk.shape[1])
+        has_excl = jnp.any(code[:, :, None]
+                           == excl_blk[:, None, :], axis=2)
+    else:
+        has_excl = jnp.zeros_like(cand_valid)
+    has_excl = has_excl | (code == row_blk)                 # self pairs
+    has_excl = has_excl & cand_valid
+    # rank: 0 = exclusion-carrying, 1 = plain valid, 2 = invalid
+    rank = jnp.where(cand_valid, jnp.where(has_excl, 0, 1), 2)
+    reorder = jnp.argsort(rank, axis=1, stable=True).astype(jnp.int32)
+    code = jnp.take_along_axis(code, reorder, axis=1)
+    excl_count = jnp.sum(has_excl, axis=1, dtype=jnp.int32)
+    if mc_round > max_cols:                    # pad to a whole chunk count
+        code = jnp.pad(code, ((0, 0), (0, mc_round - max_cols)),
+                       constant_values=nb)
+    max_cols = mc_round
 
     # ---- static feature planes, folded for the kernel
     q_s = charge[order].astype(f32)
@@ -180,7 +210,15 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     step = 16
     for c0 in range(0, max_cols, step):
         chunks.append(mask_chunk(code[:, c0:c0 + step]))
-    excl_bits = jnp.concatenate(chunks, axis=1)             # (nb, mc, 64, 2)
+    excl_bits = jnp.concatenate(chunks, axis=1)             # (nb, mc, 4, 64)
+
+    # compacted STATIC candidate slab (params don't move): one build-time
+    # block-row gather -> (nb, 3, mc*64) contiguous
+    static_blk = feat[:, 3:6, :]                            # (nb+1, 3, 64)
+    sslab = jnp.take(static_blk.reshape(nb + 1, 3 * block),
+                     code.reshape(-1), axis=0)
+    sslab = sslab.reshape(nb, max_cols, 3, block).transpose(0, 2, 1, 3)
+    sslab = sslab.reshape(nb, 3, max_cols * block)
 
     # per-step coordinate refresh data: sorted-frame offsets (current box);
     # indices stored BLOCKED so per-step gathers produce (nb, 64) planes
@@ -191,7 +229,9 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
             "rWb": W_s[:, 1].reshape(nb, block),
             "rWc": W_s[:, 2].reshape(nb, block),
             "feat": feat, "code": code, "excl_bits": excl_bits,
-            "count": count, "overflow": overflow}
+            "sslab": sslab,
+            "count": count, "excl_count": excl_count,
+            "overflow": overflow}
 
 
 def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
@@ -208,6 +248,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     feat = st["feat"]
     code = st["code"]
     excl_bits = st["excl_bits"]
+    sslab = st["sslab"]
     order = st["order"]
     inv_order = st["inv_order"]
     nb = feat.shape[0] - 1
@@ -216,21 +257,35 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     f32 = jnp.float32
     boxf = box.astype(f32)
 
-    px = pos[:, 0].astype(f32)
-    py = pos[:, 1].astype(f32)
-    pz = pos[:, 2].astype(f32)
+    posf = pos.astype(f32)
     if pos.shape[0] < n_pad:
         pad = n_pad - pos.shape[0]
-        px = jnp.concatenate([px, jnp.broadcast_to(px[0], (pad,))])
-        py = jnp.concatenate([py, jnp.broadcast_to(py[0], (pad,))])
-        pz = jnp.concatenate([pz, jnp.broadcast_to(pz[0], (pad,))])
+        posf = jnp.concatenate(
+            [posf, jnp.broadcast_to(posf[0], (pad, 3))], axis=0)
     rox = (st["rWa"] * boxf[0, 0] + st["rWb"] * boxf[1, 0]
            + st["rWc"] * boxf[2, 0])
     roy = st["rWb"] * boxf[1, 1] + st["rWc"] * boxf[2, 1]
     roz = st["rWc"] * boxf[2, 2]
-    feat = feat.at[:nb, 0].set(px[order] - rox)
-    feat = feat.at[:nb, 1].set(py[order] - roy)
-    feat = feat.at[:nb, 2].set(pz[order] - roz)
+    # one row-gather into the sorted frame (element gathers run at
+    # ~0.13 Gelem/s here; row gathers amortize the per-row cost)
+    ps = jnp.take(posf, order.reshape(-1), axis=0).reshape(nb, block, 3)
+    pxb = ps[:, :, 0] - rox                                # (nb, 64)
+    pyb = ps[:, :, 1] - roy
+    pzb = ps[:, :, 2] - roz
+    feat = feat.at[:nb, 0].set(pxb)
+    feat = feat.at[:nb, 1].set(pyb)
+    feat = feat.at[:nb, 2].set(pzb)
+
+    # per-step compaction of candidate coordinates: one block-row gather
+    # into a contiguous (nb, 3, mcc*64) slab (see module docstring)
+    pos_blk = jnp.full((nb + 1, 3, block), 1.0e7, f32)
+    pos_blk = pos_blk.at[:nb, 0].set(pxb)
+    pos_blk = pos_blk.at[:nb, 1].set(pyb)
+    pos_blk = pos_blk.at[:nb, 2].set(pzb)
+    pslab = jnp.take(pos_blk.reshape(nb + 1, 3 * block),
+                     code.reshape(-1), axis=0)
+    pslab = pslab.reshape(nb, max_cols, 3, block).transpose(0, 2, 1, 3)
+    pslab = pslab.reshape(nb, 3, max_cols * block)
 
     consts = jnp.array([[alpha, cutoff * cutoff, krf, crf,
                          boxf[0, 0], boxf[1, 0], boxf[1, 1],
@@ -243,48 +298,44 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                                want_energy=bool(want_energy))
     grid = (nb, max_cols // COLS_PER_TILE)
 
-    def col_spec(k):
-        # literal indices must stay i32 for the Mosaic transforms: derive
-        # zeros from the (i32) grid coordinates
-        return pl.BlockSpec(
-            (1, 6, block),
-            lambda r, c, code, cnt, k=k: (
-                code[r, COLS_PER_TILE * c + k], r * 0, r * 0))
-
     # per-lane reciprocal bit weights for the float bitmask test (kernels
     # cannot capture array constants; rows identical, read as (1, 64))
     lanebit = jnp.broadcast_to(jnp.asarray(
         np.exp2(-(np.arange(block) % 16)).astype(np.float32)), (8, block))
 
+    cw = COLS_PER_TILE * block
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 16), lambda r, c, code, cnt: (r * 0, r * 0),
+                pl.BlockSpec((1, 16),
+                             lambda r, c, cnt, ecnt: (r * 0, r * 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((8, block),
-                             lambda r, c, code, cnt: (r * 0, r * 0)),
+                             lambda r, c, cnt, ecnt: (r * 0, r * 0)),
                 pl.BlockSpec((1, 6, block),
-                             lambda r, c, code, cnt: (r, r * 0, r * 0)),
-            ] + [col_spec(k) for k in range(COLS_PER_TILE)] + [
+                             lambda r, c, cnt, ecnt: (r, r * 0, r * 0)),
+                pl.BlockSpec((1, 3, cw),
+                             lambda r, c, cnt, ecnt: (r, r * 0, c)),
+                pl.BlockSpec((1, 3, cw),
+                             lambda r, c, cnt, ecnt: (r, r * 0, c)),
                 pl.BlockSpec((1, COLS_PER_TILE, 4, block),
-                             lambda r, c, code, cnt: (r, c, r * 0, r * 0)),
+                             lambda r, c, cnt, ecnt: (r, c, r * 0, r * 0)),
             ],
-            out_specs=pl.BlockSpec((1, 4, block),
-                                   lambda r, c, code, cnt: (r, r * 0, r * 0)),
+            out_specs=pl.BlockSpec(
+                (1, 4, block),
+                lambda r, c, cnt, ecnt: (r, r * 0, r * 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 4, block), f32),
         interpret=interpret,
-    )(code, st["count"], consts, lanebit, *([feat] * (COLS_PER_TILE + 1)),
+    )(st["count"], st["excl_count"], consts, lanebit, feat, pslab, sslab,
       excl_bits)
 
-    fx = out[:, 0, :].reshape(n_pad)[inv_order]
-    fy = out[:, 1, :].reshape(n_pad)[inv_order]
-    fz = out[:, 2, :].reshape(n_pad)[inv_order]
+    f_sorted = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_pad, 3)
+    forces = jnp.take(f_sorted, inv_order, axis=0).astype(pos.dtype)
     energy = 0.5 * jnp.sum(out[:, 3, :], dtype=f32)
-    forces = jnp.stack([fx, fy, fz], axis=-1).astype(pos.dtype)
     return energy, forces
 
 
@@ -301,12 +352,11 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
     return e, f, st["overflow"]
 
 
-def _kernel_body(code_ref, count_ref, consts_ref, lanebit_ref, row_ref,
-                 *rest, mode, kc, b, want_energy=True):
+def _kernel_body(count_ref, exclcnt_ref, consts_ref, lanebit_ref, row_ref,
+                 pslab_ref, sslab_ref, bits_ref, out_ref, *, mode, kc, b,
+                 want_energy=True):
     import jax.experimental.pallas as pl
 
-    col_refs = rest[:kc]
-    bits_ref, out_ref = rest[kc:]
     ri = pl.program_id(0)
     ci = pl.program_id(1)
 
@@ -314,16 +364,27 @@ def _kernel_body(code_ref, count_ref, consts_ref, lanebit_ref, row_ref,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(ci * kc < count_ref[ri])
+    live = ci * kc < count_ref[ri]
+    masked = ci * kc < exclcnt_ref[ri]
+
+    # chunks that can contain excluded pairs pay the bitmask unpack;
+    # the (usual) exclusion-free chunks skip it entirely
+    @pl.when(jnp.logical_and(live, masked))
     def _():
-        _tile_compute(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
-                      bits_ref, out_ref, ri, ci, mode=mode, kc=kc, b=b,
-                      want_energy=want_energy)
+        _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
+                      sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
+                      kc=kc, b=b, want_energy=want_energy, use_mask=True)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(masked)))
+    def _():
+        _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
+                      sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
+                      kc=kc, b=b, want_energy=want_energy, use_mask=False)
 
 
-def _tile_compute(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
+def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
                   bits_ref, out_ref, ri, ci, *, mode, kc, b,
-                  want_energy=True):
+                  want_energy=True, use_mask=True):
     import jax.experimental.pallas as pl  # noqa: F401
 
     alpha = consts_ref[0, 0]
@@ -340,18 +401,16 @@ def _tile_compute(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
     inv_by = consts_ref[0, 11]
     inv_cz = consts_ref[0, 12]
 
-    row = row_ref[0]                                       # (8, b)
-    cols = jnp.concatenate([ref[0] for ref in col_refs], axis=1)  # (6,kc*b)
+    row = row_ref[0]                                       # (6, b)
+    cpos = pslab_ref[0]                                    # (3, kc*b)
+    cstat = sslab_ref[0]                                   # (3, kc*b)
 
     def rvec(k):
         return row[k:k + 1, :].reshape(b, 1)
 
-    def cvec(k):
-        return cols[k:k + 1, :]
-
-    dx = rvec(0) - cvec(0)
-    dy = rvec(1) - cvec(1)
-    dz = rvec(2) - cvec(2)
+    dx = rvec(0) - cpos[0:1, :]
+    dy = rvec(1) - cpos[1:2, :]
+    dz = rvec(2) - cpos[2:3, :]
     # staged triclinic minimum image (reduced box form)
     sc = jnp.round(dz * inv_cz)
     dx = dx - sc * box_cx
@@ -364,44 +423,45 @@ def _tile_compute(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
     dx = dx - sa * box_ax
     r2 = dx * dx + dy * dy + dz * dz
 
-    # exclusions + self pairs via the packed per-tile bitmask (bit j of
-    # word j//32 in bits[k, i, :] masks column lane j against row atom i);
-    # padded atoms carry q=0/eps=0 and the dummy block sits far away, so
-    # no other validity test is needed
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-    # float bit test: bit j of word w = parity of floor(w * 2^-(j%16));
-    # all-f32 arithmetic (Mosaic rejects vector shifts / int-bool bitcasts)
-    inv_bit = lanebit_ref[0:1, :]
-    notex_parts = []
-    for k in range(kc):
-        w = bits_ref[0, k]                                  # (4, b) f32
-        w01 = jnp.where(lane < 16, w[0:1, :].reshape(b, 1),
-                        w[1:2, :].reshape(b, 1))
-        w23 = jnp.where(lane < 48, w[2:3, :].reshape(b, 1),
-                        w[3:4, :].reshape(b, 1))
-        wsel = jnp.where(lane < 32, w01, w23)               # (b, b)
-        t = jnp.floor(wsel * inv_bit)
-        # words hold exact <2^16 ints, so parity is exactly 0.0 or 1.0
-        parity = t - 2.0 * jnp.floor(0.5 * t)
-        notex_parts.append(1.0 - parity)
-    # all-float mask path: Mosaic rejects concatenation of i1 vregs, so the
-    # per-slab not-excluded flags stay f32 and the cutoff test folds in via
-    # a where instead of a bool AND
-    notex = jnp.concatenate(notex_parts, axis=1)            # (b, kc*b) f32
-    scale = jnp.where(r2 < rc2, notex, 0.0)
+    if use_mask:
+        # exclusions + self pairs via the packed per-tile bitmask; padded
+        # atoms carry q=0/eps=0 and the dummy block sits far away, so no
+        # other validity test is needed.  Float bit test: bit j of word w
+        # = parity of floor(w * 2^-(j%16)); all-f32 arithmetic (Mosaic
+        # rejects vector shifts, int-bool bitcasts and i1 concatenation)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        inv_bit = lanebit_ref[0:1, :]
+        notex_parts = []
+        for k in range(kc):
+            w = bits_ref[0, k]                              # (4, b) f32
+            w01 = jnp.where(lane < 16, w[0:1, :].reshape(b, 1),
+                            w[1:2, :].reshape(b, 1))
+            w23 = jnp.where(lane < 48, w[2:3, :].reshape(b, 1),
+                            w[3:4, :].reshape(b, 1))
+            wsel = jnp.where(lane < 32, w01, w23)           # (b, b)
+            t = jnp.floor(wsel * inv_bit)
+            # words hold exact <2^16 ints: parity is exactly 0.0 or 1.0
+            parity = t - 2.0 * jnp.floor(0.5 * t)
+            notex_parts.append(1.0 - parity)
+        notex = jnp.concatenate(notex_parts, axis=1)        # (b, kc*b)
+        scale = jnp.where(r2 < rc2, notex, 0.0)
+    else:
+        # f32 literals: Python floats promote to f64 under the global
+        # x64 flag, and 64-bit vregs abort the TPU compiler
+        scale = jnp.where(r2 < rc2, jnp.float32(1.0), jnp.float32(0.0))
     r2s = jnp.where(scale > 0.5, jnp.maximum(r2, 2e-6), 1.0)
 
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
 
-    sig = rvec(4) + cvec(4)
-    eps4 = rvec(5) * cvec(5)
+    sig = rvec(4) + cstat[1:2, :]
+    eps4 = rvec(5) * cstat[2:3, :]
     s2 = sig * sig * inv_r2
     s6 = s2 * s2 * s2
     es6 = eps4 * s6
     de_lj = -3.0 * es6 * (2.0 * s6 - 1.0) * inv_r2
 
-    qq = rvec(3) * cvec(3)
+    qq = rvec(3) * cstat[0:1, :]
     if mode == MODE_EWALD:
         r = r2s * inv_r
         ar = alpha * r

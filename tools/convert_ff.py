@@ -141,6 +141,17 @@ def convert(paths):
                     kind, a.attrib.get("type", a.attrib.get("class")),
                     float(a.attrib.get("charge", 0.0)),
                     float(a.attrib["radius"]), float(a.attrib["scale"])])
+        # every other generator section (CMAP, LennardJones/NBFIX, Custom*,
+        # Drude, the AMOEBA family) plus Patches rides through as serialized
+        # parameter XML, parsed at load time by the PARSERS registry
+        handled = {"Info", "AtomTypes", "Residues", "HarmonicBondForce",
+                   "HarmonicAngleForce", "PeriodicTorsionForce",
+                   "RBTorsionForce", "NonbondedForce", "GBSAOBCForce",
+                   "Include", "Script"}
+        for child in root:
+            if child.tag not in handled:
+                out.setdefault("sections", []).append(
+                    ET.tostring(child, encoding="unicode"))
     return out
 
 

@@ -87,35 +87,44 @@ def main():
           flush=True)
 
     for mode, name in ((pp.MODE_EWALD, "ewald"), (pp.MODE_PLAIN, "plain")):
-        def eval_loop(p, st=st, mode=mode):
+        def eval_loop(p, st, mode=mode):
             def body(i, p):
                 e, f = pp.eval_tiles(p, box, st, n, cutoff, mode,
                                      alpha=2.92, krf=0.6, crf=1.5)
                 return p + f * 1e-30 + e * 1e-30
             return jax.lax.fori_loop(0, R, body, p)
-        print("eval_tiles %s: %.3f ms" % (name, tloop(eval_loop, pos_pad)),
+        print("eval_tiles %s: %.3f ms" % (name,
+                                          tloop(eval_loop, pos_pad, st)),
               flush=True)
+        def evalnoe_loop(p, st, mode=mode):
+            def body(i, p):
+                e, f = pp.eval_tiles(p, box, st, n, cutoff, mode,
+                                     alpha=2.92, krf=0.6, crf=1.5,
+                                     want_energy=False)
+                return p + f * 1e-30
+            return jax.lax.fori_loop(0, R, body, p)
+        print("eval_tiles %s force-only: %.3f ms"
+              % (name, tloop(evalnoe_loop, pos_pad, st)), flush=True)
 
     # per-step refresh overhead alone (the XLA prologue/epilogue around the
     # kernel): monkeypatch the kernel body to a copy
     orig = pp._tile_compute
 
-    def skeleton(code_ref, consts_ref, lanebit_ref, row_ref, col_refs,
+    def skeleton(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
                  bits_ref, out_ref, ri, ci, *, mode, kc, b,
-                 want_energy=True):
-        acc = row_ref[0][0:1, :]
-        for ref in col_refs:
-            acc = acc + ref[0][0:1, :]
+                 want_energy=True, use_mask=True):
+        acc = row_ref[0][0:1, :] + pslab_ref[0][0:1, 0:b] \
+            + sslab_ref[0][0:1, 0:b]
         out_ref[0] = out_ref[0] + jnp.broadcast_to(acc, out_ref[0].shape)
     pp._tile_compute = skeleton
 
-    def skel_loop(p):
+    def skel_loop(p, st):
         def body(i, p):
             e, f = pp.eval_tiles(p, box, st, n, cutoff, 0, alpha=2.92)
             return p + f * 1e-30 + e * 1e-30
         return jax.lax.fori_loop(0, R, body, p)
     print("eval_tiles skeleton (DMA+refresh): %.3f ms" % tloop(
-        skel_loop, pos_pad), flush=True)
+        skel_loop, pos_pad, st), flush=True)
     pp._tile_compute = orig
 
 
