@@ -322,11 +322,20 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=40,
     if not cons:
         return None
     n = len(cons)
-    n_atoms = len(masses)
-    idx = np.asarray([(c[0], c[1]) for c in cons], np.int32)
+    idx_g = np.asarray([(c[0], c[1]) for c in cons], np.int32)
     d0 = np.asarray([c[2] for c in cons])
-    inv_m = np.array([0.0 if m == 0 else 1.0 / m for m in masses])
-    red_m = 1.0 / (2.0 * (inv_m[idx[:, 0]] + inv_m[idx[:, 1]]))
+    inv_m_all = np.array([0.0 if m == 0 else 1.0 / m for m in masses])
+    red_m = 1.0 / (2.0 * (inv_m_all[idx_g[:, 0]] + inv_m_all[idx_g[:, 1]]))
+
+    # the whole iteration runs on the COMPACT set of atoms that appear in
+    # any constraint (protein H's, not the entire solvated system): one
+    # gather in, the loop works on (n_inv, 3), one row-scatter out
+    involved = np.unique(idx_g.reshape(-1))
+    n_inv = len(involved)
+    local_of = {int(a): i for i, a in enumerate(involved)}
+    idx = np.asarray([[local_of[int(i)], local_of[int(j)]]
+                      for (i, j) in idx_g], np.int32)
+    inv_m = inv_m_all[involved]
 
     K = _ccma_coupling_matrix(cons, masses, angles)
     K_inv = np.linalg.inv(K)
@@ -342,18 +351,19 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=40,
 
     # per-atom gather tables: constraints touching each atom, with the sign
     # of the correction (-1 when the atom is the i side, +1 for the j side)
-    per_atom = [[] for _ in range(n_atoms)]
+    per_atom = [[] for _ in range(n_inv)]
     for c, (i, j) in enumerate(idx):
         per_atom[i].append((c, -1.0))
         per_atom[j].append((c, 1.0))
     kmax = max(1, max(len(x) for x in per_atom))
-    atom_cons = np.zeros((n_atoms, kmax), np.int32)
-    atom_sign = np.zeros((n_atoms, kmax))
+    atom_cons = np.zeros((n_inv, kmax), np.int32)
+    atom_sign = np.zeros((n_inv, kmax))
     for a, lst in enumerate(per_atom):
         for k, (c, s) in enumerate(lst):
             atom_cons[a, k] = c
             atom_sign[a, k] = s
 
+    involved_j = jnp.asarray(involved.astype(np.int32))
     idx_j = jnp.asarray(idx)
     d0_j = jnp.asarray(d0.astype(dtype))
     red_m_j = jnp.asarray(red_m.astype(dtype))
@@ -367,15 +377,16 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=40,
         return jnp.sum(vals_j * delta[cols_j], axis=1)
 
     def distribute(dr):
-        """(C,3) constraint corrections -> (N,3) per-atom deltas (gathers)."""
-        contrib = dr[atom_cons_j]                      # (N, K, 3)
+        """(C,3) constraint corrections -> (n_inv,3) atom deltas (gathers)."""
+        contrib = dr[atom_cons_j]                      # (n_inv, K, 3)
         return inv_m_j[:, None] * jnp.sum(
             atom_sign_j[:, :, None] * contrib, axis=1)
 
     def apply_positions(ref_pos, new_pos):
         """Iterate: lambda = Kinv @ violation, apply along REFERENCE directions
         (the CCMA/SHAKE linearization)."""
-        r_ref = ref_pos[idx_j[:, 0]] - ref_pos[idx_j[:, 1]]   # (C,3)
+        ref_loc = ref_pos[involved_j]
+        r_ref = ref_loc[idx_j[:, 0]] - ref_loc[idx_j[:, 1]]   # (C,3)
 
         def body(carry, _):
             pos = carry
@@ -388,11 +399,13 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=40,
             pos = pos + distribute(r_ref * lam[:, None])
             return pos, None
 
-        out, _ = jax.lax.scan(body, new_pos, None, length=max_iter)
-        return out
+        out, _ = jax.lax.scan(body, new_pos[involved_j], None,
+                              length=max_iter)
+        return new_pos.at[involved_j].set(out)
 
     def apply_velocities(pos, vel):
-        r = pos[idx_j[:, 0]] - pos[idx_j[:, 1]]
+        pos_loc = pos[involved_j]
+        r = pos_loc[idx_j[:, 0]] - pos_loc[idx_j[:, 1]]
 
         def body(carry, _):
             v = carry
@@ -403,7 +416,7 @@ def make_ccma(cons, masses, angles, dtype, tol=1e-8, max_iter=40,
             v = v + distribute(r * lam[:, None])
             return v, None
 
-        out, _ = jax.lax.scan(body, vel, None, length=max_iter)
-        return out
+        out, _ = jax.lax.scan(body, vel[involved_j], None, length=max_iter)
+        return vel.at[involved_j].set(out)
 
     return apply_positions, apply_velocities
