@@ -153,8 +153,10 @@ class Context(object):
 
         # --- constraints ------------------------------------------------------
         from .ops import constraints as cons_mod
-        settle_clusters, ccma_cons = cons_mod.partition_constraints(
+        settle_clusters, rest_cons = cons_mod.partition_constraints(
             system._constraints, masses)
+        shake_clusters, ccma_cons = cons_mod.partition_shake_clusters(
+            rest_cons, masses)
         angles = []
         from .forces.bonded import HarmonicAngleForce
         for force in system.getForces():
@@ -163,6 +165,7 @@ class Context(object):
                     angles.append((p1, p2, p3, theta0))
         with jax.default_device(self._device):
             self._settle = cons_mod.make_settle(settle_clusters, masses, self._dtype)
+            self._shake = cons_mod.make_shake(shake_clusters, masses, self._dtype)
             self._ccma = cons_mod.make_ccma(ccma_cons, masses, angles, self._dtype)
         self._has_constraints = bool(system._constraints)
 
@@ -226,10 +229,13 @@ class Context(object):
             has_constraints=self._has_constraints)
 
         settle, ccma, vsite = self._settle, self._ccma, self._vsite_update
+        shake = self._shake
 
         def apply_position_constraints(ref, new):
             if settle is not None:
                 new = settle[0](ref, new)
+            if shake is not None:
+                new = shake[0](ref, new)
             if ccma is not None:
                 new = ccma[0](ref, new)
             return new
@@ -237,6 +243,8 @@ class Context(object):
         def apply_velocity_constraints(pos, vel):
             if settle is not None:
                 vel = settle[1](pos, vel)
+            if shake is not None:
+                vel = shake[1](pos, vel)
             if ccma is not None:
                 vel = ccma[1](pos, vel)
             return vel

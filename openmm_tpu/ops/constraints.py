@@ -81,6 +81,170 @@ def partition_constraints(constraints, masses):
     return settle, ccma
 
 
+def partition_shake_clusters(constraints, masses):
+    """Split constraints into SHAKE-H star clusters and the rest.
+
+    A SHAKE cluster (IntegrationUtilities.cpp:44-63,204-259) is a central
+    atom with 1-3 peripheral atoms where every peripheral (a) shares the
+    cluster's single constraint distance, (b) shares one inverse mass, and
+    (c) takes part in no other constraint; the central atom's constraints
+    are exactly the cluster's. Such clusters are mutually independent, so
+    they solve in parallel with no coupling matrix — this is the entire
+    protein-H constraint set under the HBonds option.
+
+    Returns (clusters, rest): clusters = list of
+    (central, [peripherals...], distance); rest = remaining (i, j, d).
+    """
+    n_cons = len(constraints)
+    count = {}
+    for (i, j, d) in constraints:
+        count[i] = count.get(i, 0) + 1
+        count[j] = count.get(j, 0) + 1
+
+    by_central = {}
+    invalid = set()
+    for ci, (i, j, d) in enumerate(constraints):
+        if count[i] > 1 and count[j] > 1:
+            # both ends multiply constrained: not a star; poison both
+            invalid.add(i)
+            invalid.add(j)
+            continue
+        if count[i] > 1:
+            central, periph = i, j
+        elif count[j] > 1:
+            central, periph = j, i
+        else:
+            central, periph = (i, j) if i < j else (j, i)
+        by_central.setdefault(central, []).append((ci, periph, d))
+
+    clusters = []
+    used = [False] * n_cons
+    for central, members in by_central.items():
+        ok = (central not in invalid and len(members) <= 3
+              and masses[central] > 0)
+        d0 = members[0][2]
+        m0 = masses[members[0][1]]
+        for (ci, p, d) in members:
+            if (p in invalid or p in by_central
+                    or abs(d - d0) > 1e-8 * d0
+                    or masses[p] <= 0
+                    or abs(masses[p] - m0) > 1e-8 * m0):
+                ok = False
+        if ok:
+            clusters.append((central, [p for (_, p, _) in members], d0))
+            for (ci, p, d) in members:
+                used[ci] = True
+    rest = [constraints[c] for c in range(n_cons) if not used[c]]
+    return clusters, rest
+
+
+def make_shake(clusters, masses, dtype, tol=1e-6, max_iter=15):
+    """Parallel SHAKE over independent H star clusters.
+
+    The vmapped twin of the reference's applyShakeToPositions /
+    applyShakeToVelocities kernels (platforms/common/src/kernels/
+    integrationUtilities.cc:99,220): per cluster, iterate the ≤3 bond
+    corrections sequentially (central atom delta accumulates); clusters
+    are independent so everything is one (K, 3)-shaped VPU program with
+    tiny gathers — no coupling matrix, no big scatter.
+    """
+    if not clusters:
+        return None
+    K = len(clusters)
+    n_atoms = len(masses)
+    cent = np.asarray([c[0] for c in clusters], np.int32)
+    peri = np.full((K, 3), -1, np.int64)
+    pvalid = np.zeros((K, 3), np.float64)
+    for k, (c, ps, d) in enumerate(clusters):
+        for a, p in enumerate(ps):
+            peri[k, a] = p
+            pvalid[k, a] = 1.0
+    # invalid slots gather the central atom; their corrections are masked
+    peri_g = np.where(peri >= 0, peri, cent[:, None]).astype(np.int32)
+    d2 = np.asarray([c[2] * c[2] for c in clusters])
+    inv_mc = np.asarray([1.0 / masses[c[0]] for c in clusters])
+    inv_mp = np.asarray([1.0 / masses[c[1][0]] for c in clusters])
+    avg_m = 0.5 / (inv_mc + inv_mp)
+
+    # scatter-free writeback permutation (each atom in exactly one slot)
+    sel_np = np.arange(n_atoms, dtype=np.int32)
+    sel_np[cent] = n_atoms + np.arange(K, dtype=np.int32)
+    for a in range(3):
+        live = peri[:, a] >= 0
+        sel_np[peri[np.nonzero(live)[0], a]] = (
+            n_atoms + (a + 1) * K + np.nonzero(live)[0].astype(np.int32))
+    sel = jnp.asarray(sel_np)
+
+    cent_j = jnp.asarray(cent)
+    peri_j = jnp.asarray(peri_g)
+    pvalid_j = jnp.asarray(pvalid.astype(dtype))      # (K, 3)
+    d2_j = jnp.asarray(d2.astype(dtype))
+    inv_mc_j = jnp.asarray(inv_mc.astype(dtype))
+    inv_mp_j = jnp.asarray(inv_mp.astype(dtype))
+    avg_m_j = jnp.asarray(avg_m.astype(dtype))
+    tol_j = jnp.asarray(tol, dtype)
+
+    def apply_positions(ref_pos, new_pos):
+        rc = ref_pos[cent_j]                          # (K, 3)
+        rp = ref_pos[peri_j.reshape(-1)].reshape(K, 3, 3)
+        rij = rc[:, None, :] - rp                     # (K, 3, 3)
+        rijsq = jnp.sum(rij * rij, axis=-1)           # (K, 3)
+        ld = d2_j[:, None] - rijsq
+        xpi0 = new_pos[cent_j] - rc
+        xpj0 = new_pos[peri_j.reshape(-1)].reshape(K, 3, 3) - rp
+
+        def body(carry, _):
+            xpi, xpj = carry
+            for a in range(3):
+                skip = pvalid_j[:, a] == 0
+                rpij = xpi - xpj[:, a, :]
+                rpsq = jnp.sum(rpij * rpij, axis=-1)
+                rrpr = jnp.sum(rij[:, a, :] * rpij, axis=-1)
+                resid = ld[:, a] - 2.0 * rrpr - rpsq
+                near = jnp.abs(resid) < d2_j * tol_j
+                denom = jnp.where(skip, 1.0, rrpr + rijsq[:, a])
+                acor = jnp.where(near | skip, 0.0,
+                                 resid * avg_m_j / denom)
+                dr = rij[:, a, :] * acor[:, None]
+                xpi = xpi + dr * inv_mc_j[:, None]
+                xpj = xpj.at[:, a, :].add(-dr * inv_mp_j[:, None])
+            return (xpi, xpj), None
+
+        (xpi, xpj), _ = jax.lax.scan(body, (xpi0, xpj0), None,
+                                     length=max_iter)
+        outc = rc + xpi
+        # a-major flatten to match sel's n + (a+1)*K + k slot layout
+        outp = (rp + xpj).swapaxes(0, 1).reshape(K * 3, 3)
+        return jnp.concatenate([new_pos, outc, outp])[sel]
+
+    def apply_velocities(pos, vel):
+        rc = pos[cent_j]
+        rp = pos[peri_j.reshape(-1)].reshape(K, 3, 3)
+        rij = rc[:, None, :] - rp
+        rijsq = jnp.sum(rij * rij, axis=-1)
+        vi0 = vel[cent_j]
+        vj0 = vel[peri_j.reshape(-1)].reshape(K, 3, 3)
+
+        def body(carry, _):
+            vi, vj = carry
+            for a in range(3):
+                skip = pvalid_j[:, a] == 0
+                rpij = vi - vj[:, a, :]
+                rrpr = jnp.sum(rpij * rij[:, a, :], axis=-1)
+                denom = jnp.where(skip, 1.0, rijsq[:, a])
+                delta = jnp.where(skip, 0.0, -2.0 * avg_m_j * rrpr / denom)
+                dr = rij[:, a, :] * delta[:, None]
+                vi = vi + dr * inv_mc_j[:, None]
+                vj = vj.at[:, a, :].add(-dr * inv_mp_j[:, None])
+            return (vi, vj), None
+
+        (vi, vj), _ = jax.lax.scan(body, (vi0, vj0), None, length=max_iter)
+        return jnp.concatenate(
+            [vel, vi, vj.swapaxes(0, 1).reshape(K * 3, 3)])[sel]
+
+    return apply_positions, apply_velocities
+
+
 # ---------------------------------------------------------------------------
 # SETTLE
 # ---------------------------------------------------------------------------

@@ -111,6 +111,55 @@ def test_ccma_chain():
         assert errs.max() < 1e-4, errs.max()
 
 
+def test_shake_h_clusters():
+    """Methane-like CH3/CH2/NH star clusters take the parallel-SHAKE path
+    (IntegrationUtilities.cpp:204-259 cluster rules) and hold distances
+    and bond-direction velocities."""
+    from openmm_tpu.ops import constraints as cm
+    system = mm.System()
+    nb = mm.NonbondedForce()
+    positions = []
+    # C + 3 H (tetrahedral-ish), then N + 1 H
+    dirs = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1]]) / math.sqrt(3)
+    system.addParticle(12.0)
+    nb.addParticle(0.0, 0.34, 0.4)
+    positions.append(mm.Vec3(0, 0, 0))
+    for k in range(3):
+        system.addParticle(1.008)
+        nb.addParticle(0.1, 0.1, 0.05)
+        positions.append(mm.Vec3(*(dirs[k] * 0.109)))
+        system.addConstraint(0, 1 + k, 0.109)
+    system.addParticle(14.0)
+    system.addParticle(1.008)
+    nb.addParticle(-0.3, 0.32, 0.5)
+    nb.addParticle(0.3, 0.1, 0.05)
+    positions.append(mm.Vec3(0.8, 0, 0))
+    positions.append(mm.Vec3(0.901, 0, 0))
+    system.addConstraint(4, 5, 0.101)
+    system.addForce(nb)
+
+    masses = [12.0, 1.008, 1.008, 1.008, 14.0, 1.008]
+    cl, rest = cm.partition_shake_clusters(system._constraints, masses)
+    assert len(cl) == 2 and not rest
+
+    integ = mm.VerletIntegrator(0.001)
+    ctx = mm.Context(system, integ, reference_platform())
+    ctx.setPositions(positions)
+    ctx.applyConstraints()
+    ctx.setVelocitiesToTemperature(300.0, randomSeed=7)
+    for _ in range(5):
+        integ.step(20)
+        errs = constraint_errors(ctx, system)
+        assert errs.max() < 1e-4, errs.max()
+    ctx.applyVelocityConstraints()
+    pos = ctx.getState(getPositions=True).getPositions(asNumpy=True)._value
+    vel = ctx.getState(getVelocities=True).getVelocities(asNumpy=True)._value
+    for ci in range(system.getNumConstraints()):
+        p1, p2, d = system.getConstraintParameters(ci)
+        rv = (pos[p1] - pos[p2]) @ (vel[p1] - vel[p2])
+        assert abs(rv) < 1e-7, rv
+
+
 def test_nve_with_constraints():
     """Total energy conserved with rigid waters (TestSettle.h pattern)."""
     system, positions, _ = water_box_system(n_waters=4)
