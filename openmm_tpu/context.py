@@ -201,6 +201,11 @@ class Context(object):
             }
             if self._pos_compensated:
                 self._state["pos_lo"] = jnp.zeros((n, 3), self._dtype)
+                if getattr(integrator, "_supports_vel_compensation", False):
+                    # f32x2 velocity plane (reference mixed precision keeps
+                    # velm in double; integrators that opt in accumulate the
+                    # leapfrog velocity as a compensated pair)
+                    self._state["vel_lo"] = jnp.zeros((n, 3), self._dtype)
         self._positions_set = False
 
         # --- deps bundle + jit caches --------------------------------------------
@@ -509,6 +514,9 @@ class Context(object):
         if vel.shape != (self._n, 3):
             raise OpenMMException("setVelocities: wrong shape")
         self._state["velocities"] = jnp.asarray(vel.astype(self._dtype))
+        if "vel_lo" in self._state:
+            lo = vel - np.asarray(self._state["velocities"], np.float64)
+            self._state["vel_lo"] = jnp.asarray(lo.astype(self._dtype))
 
     def setVelocitiesToTemperature(self, temperature, randomSeed=None):
         import jax
@@ -530,6 +538,9 @@ class Context(object):
             self._state["velocities"] = self._jit_sample_velocities(
                 key, jnp.asarray(temp, self._dtype),
                 self._state["positions"])
+            if "vel_lo" in self._state:
+                self._state["vel_lo"] = jnp.zeros_like(
+                    self._state["vel_lo"])
 
     def setPeriodicBoxVectors(self, a, b, c):
         jnp = _jnp()
@@ -759,7 +770,10 @@ class Context(object):
                 pos = self._wrap_positions(pos, np.asarray(s["box"], np.float64))
             kw["positions"] = pos
         if types & State.Velocities:
-            kw["velocities"] = np.asarray(s["velocities"], np.float64)
+            vel = np.asarray(s["velocities"], np.float64)
+            if "vel_lo" in s:
+                vel = vel + np.asarray(s["vel_lo"], np.float64)
+            kw["velocities"] = vel
         if types & State.Parameters:
             kw["parameters"] = self.getParameters()
         if types & State.IntegratorParameters:

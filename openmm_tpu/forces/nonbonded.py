@@ -749,6 +749,14 @@ class NonbondedForce(Force):
                          and dtype == jnp.float32
                          and not use_switch and not is_ljpme
                          and particle_offs is None)
+            # build-time candidate image shifts replace the per-pair minimum
+            # image when the box is comfortably larger than (cutoff + skin +
+            # block extents); the exact per-pair bound is still checked at
+            # every rebuild (violations poison via the overflow channel)
+            box_min = min(float(box0[0][0]), float(box0[1][1]),
+                          float(box0[2][2]))
+            self._nl_use_shift = (
+                box_min > 2.0 * (cutoff + nl_skin) + 4.5 * block_side)
             direct_engine = ("pallas" if pallas_ok else "rows") \
                 if engine_env in ("auto", "perstep") else engine_env
         else:
@@ -846,7 +854,8 @@ class NonbondedForce(Force):
                     pos_pad, box, pa["charge"], pa["sigma"], pa["epsilon"],
                     exclusions, n, cutoff + nl_skin, nl_max_cols_s,
                     block=nl_block, sort_cell=self._nl_sort_cell,
-                    col_cap=self._nl_col_cap)
+                    col_cap=self._nl_col_cap,
+                    use_shift=self._nl_use_shift)
                 if use_zslab:
                     from ..ops import pme_zslab
                     zst = pme_zslab.build_z_state(pos, box, charge,

@@ -48,29 +48,41 @@ class StepDeps:
     n_molecules: int = 0
 
 
-def commit_positions(state, old_pos, new_pos):
+def commit_positions(state, old_pos, new_pos, extra_lo=None):
     """Write integrated positions into the state.
 
     When the Context carries a `pos_lo` compensation plane (mixed
     precision), the update runs as a TwoSum so positions accumulate with
     ~f64-equivalent precision while forces stay f32 — the TPU-native analog
     of the reference's posq correction arrays (ComputeContext.h:309).
-    Mutates and returns `state` (callers pass their own dict copy).
+    `extra_lo` carries a below-f32-precision position increment (the lo
+    half of a compensated step delta). Mutates and returns `state`
+    (callers pass their own dict copy).
     """
     if "pos_lo" not in state:
         state["positions"] = new_pos
         return state
-    import jax.numpy as jnp
     d = new_pos - old_pos
     s = old_pos + d
     bp = s - d
     err = (old_pos - bp) + (d - (s - bp))
     lo = state["pos_lo"] + err
+    if extra_lo is not None:
+        lo = lo + extra_lo
     hi = s + lo
     lo = lo - (hi - s)
     state["positions"] = hi
     state["pos_lo"] = lo
     return state
+
+
+def twosum(hi, small):
+    """(s, err): s = fl(hi + small), err the exact rounding residual
+    (Neumaier variant, valid for any magnitudes)."""
+    s = hi + small
+    bp = s - hi
+    err = (hi - (s - bp)) + (small - bp)
+    return s, err
 
 
 class Integrator(object):
@@ -147,6 +159,8 @@ class Integrator(object):
     def _kinetic_energy(self, state, deps, params_list, forces=None):
         """0.5 sum m (v + shift*dt*f/m)^2 (computeShiftedKineticEnergy)."""
         vel = state["velocities"]
+        if "vel_lo" in state:
+            vel = vel + state["vel_lo"]
         shift = self._kinetic_energy_shift()
         if shift != 0.0 and forces is not None:
             dt = state["iparams"]["dt"].astype(vel.dtype)

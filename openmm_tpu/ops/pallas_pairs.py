@@ -64,7 +64,7 @@ def _erfc_poly_fast(x, exp_x2):
 
 def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
                      reach, max_cols, block=64, sort_cell=None,
-                     col_cap=None):
+                     col_cap=None, use_shift=False):
     """Persistent candidate state for the tile kernel.
 
     pos: (n_pad, 3) RAW (unwrapped) positions; charge/sigma/epsilon:
@@ -106,6 +106,21 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
         pos_s = pos_s.at[n_real:].set(pos_s[n_real - 1])
         W_s = W_s.at[n_real:].set(W_s[n_real - 1])
 
+    # ---- anchor-unwrap each block: image every atom next to its block's
+    # first atom so a spatially-compact cluster straddling the home-box
+    # boundary keeps a TIGHT bounding box (wrapped coordinates would smear
+    # it across the whole box, poisoning the bbox cull and the per-candidate
+    # image shifts below)
+    anchor = jnp.repeat(pos_s.reshape(nb, block, 3)[:, :1, :], block, axis=1)
+    anchor = anchor.reshape(n_pad, 3)
+    d_anch = pos_s - anchor
+    d_red = geom.periodic_delta(d_anch, box.astype(f32))
+    pos_s = anchor + d_red
+    # track the image change in the stored wrap offsets (refresh subtracts
+    # W_s @ box from raw positions, so it must include the anchor images)
+    kfrac = jnp.round(geom.to_fractional(d_anch - d_red, binv))
+    W_s = W_s + kfrac
+
     blocks = pos_s.reshape(nb, block, 3)
     bmin = jnp.min(blocks, axis=1)
     bmax = jnp.max(blocks, axis=1)
@@ -145,14 +160,55 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
         has_excl = jnp.zeros_like(cand_valid)
     has_excl = has_excl | (code == row_blk)                 # self pairs
     has_excl = has_excl & cand_valid
-    # rank: 0 = exclusion-carrying, 1 = plain valid, 2 = invalid
-    rank = jnp.where(cand_valid, jnp.where(has_excl, 0, 1), 2)
+
+    shift = None
+    if use_shift:
+        # per-(row block, candidate) periodic image shift, baked at build so
+        # the kernel can skip the per-pair minimum image: column positions
+        # are pre-imaged next to the row block. The center image is only
+        # guaranteed to be every atom pair's minimum image when the reduced
+        # center delta plus both bbox half-extents stays inside the half box
+        # on every axis; candidates violating that bound are classified
+        # needs-image below and the kernel runs the per-pair reduction for
+        # them only (ordered as a leading window, like exclusions)
+        cent_ext = jnp.concatenate(
+            [centers, jnp.full((1, 3), 1.0e7, f32)], axis=0)   # (nb+1, 3)
+        half_ext = jnp.concatenate(
+            [half, jnp.zeros((1, 3), f32)], axis=0)
+        c_cand = cent_ext[code]                                # (nb, mc, 3)
+        d_cent = centers[:, None, :] - c_cand
+        d_centred = geom.periodic_delta(d_cent, box.astype(f32))
+        shift = d_cent - d_centred                             # (nb, mc, 3)
+        is_dummy = (code == nb)[:, :, None]
+        shift = jnp.where(is_dummy, 0.0, shift)
+        boxf = box.astype(f32)
+        widths = jnp.stack([boxf[0, 0], boxf[1, 1], boxf[2, 2]])
+        hsum = half[:, None, :] + half_ext[code]
+        needs_img = (jnp.abs(d_centred) + hsum) >= (0.5 * widths - 1e-5)
+        needs_img = jnp.any(needs_img, axis=2) & ~is_dummy[:, :, 0] \
+            & cand_valid
+    else:
+        needs_img = cand_valid  # no shifts: every live pair gets min-image
+
+    # rank: 0 = exclusion-carrying, 1 = needs-image, 2 = plain, 3 = invalid
+    rank = jnp.where(
+        cand_valid,
+        jnp.where(has_excl, 0, jnp.where(needs_img, 1, 2)), 3)
     reorder = jnp.argsort(rank, axis=1, stable=True).astype(jnp.int32)
     code = jnp.take_along_axis(code, reorder, axis=1)
     excl_count = jnp.sum(has_excl, axis=1, dtype=jnp.int32)
+    # image window covers the exclusion window too (min-image on shifted
+    # coordinates is idempotent, so over-applying it is just slower)
+    img_count = jnp.sum((has_excl | needs_img) & cand_valid, axis=1,
+                        dtype=jnp.int32)
+    if use_shift:
+        shift = jnp.take_along_axis(shift, reorder[:, :, None], axis=1)
     if mc_round > max_cols:                    # pad to a whole chunk count
         code = jnp.pad(code, ((0, 0), (0, mc_round - max_cols)),
                        constant_values=nb)
+        if use_shift:
+            shift = jnp.pad(shift,
+                            ((0, 0), (0, mc_round - max_cols), (0, 0)))
     max_cols = mc_round
 
     # ---- static feature planes, folded for the kernel
@@ -223,15 +279,19 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     # per-step coordinate refresh data: sorted-frame offsets (current box);
     # indices stored BLOCKED so per-step gathers produce (nb, 64) planes
     # directly (no 1-D -> 2-D relayout on the step path)
-    return {"order": order.reshape(nb, block),
-            "inv_order": inv_order,
-            "rWa": W_s[:, 0].reshape(nb, block),
-            "rWb": W_s[:, 1].reshape(nb, block),
-            "rWc": W_s[:, 2].reshape(nb, block),
-            "feat": feat, "code": code, "excl_bits": excl_bits,
-            "sslab": sslab,
-            "count": count, "excl_count": excl_count,
-            "overflow": overflow}
+    out = {"order": order.reshape(nb, block),
+           "inv_order": inv_order,
+           "rWa": W_s[:, 0].reshape(nb, block),
+           "rWb": W_s[:, 1].reshape(nb, block),
+           "rWc": W_s[:, 2].reshape(nb, block),
+           "feat": feat, "code": code, "excl_bits": excl_bits,
+           "sslab": sslab,
+           "count": count, "excl_count": excl_count,
+           "img_count": img_count,
+           "overflow": overflow}
+    if shift is not None:
+        out["shift"] = shift
+    return out
 
 
 def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
@@ -284,7 +344,13 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     pos_blk = pos_blk.at[:nb, 2].set(pzb)
     pslab = jnp.take(pos_blk.reshape(nb + 1, 3 * block),
                      code.reshape(-1), axis=0)
-    pslab = pslab.reshape(nb, max_cols, 3, block).transpose(0, 2, 1, 3)
+    pslab = pslab.reshape(nb, max_cols, 3, block)
+    use_shift = "shift" in st
+    if use_shift:
+        # candidates pre-imaged next to their row block (build-time shifts):
+        # the kernel then skips the per-pair minimum image
+        pslab = pslab + st["shift"][:, :, :, None]
+    pslab = pslab.transpose(0, 2, 1, 3)
     pslab = pslab.reshape(nb, 3, max_cols * block)
 
     consts = jnp.array([[alpha, cutoff * cutoff, krf, crf,
@@ -307,31 +373,32 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 16),
-                             lambda r, c, cnt, ecnt: (r * 0, r * 0),
+                             lambda r, c, cnt, ecnt, icnt: (r * 0, r * 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((8, block),
-                             lambda r, c, cnt, ecnt: (r * 0, r * 0)),
+                             lambda r, c, cnt, ecnt, icnt: (r * 0, r * 0)),
                 pl.BlockSpec((1, 6, block),
-                             lambda r, c, cnt, ecnt: (r, r * 0, r * 0)),
+                             lambda r, c, cnt, ecnt, icnt: (r, r * 0, r * 0)),
                 pl.BlockSpec((1, 3, cw),
-                             lambda r, c, cnt, ecnt: (r, r * 0, c)),
+                             lambda r, c, cnt, ecnt, icnt: (r, r * 0, c)),
                 pl.BlockSpec((1, 3, cw),
-                             lambda r, c, cnt, ecnt: (r, r * 0, c)),
+                             lambda r, c, cnt, ecnt, icnt: (r, r * 0, c)),
                 pl.BlockSpec((1, COLS_PER_TILE, 4, block),
-                             lambda r, c, cnt, ecnt: (r, c, r * 0, r * 0)),
+                             lambda r, c, cnt, ecnt, icnt:
+                                 (r, c, r * 0, r * 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 4, block),
-                lambda r, c, cnt, ecnt: (r, r * 0, r * 0)),
+                lambda r, c, cnt, ecnt, icnt: (r, r * 0, r * 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 4, block), f32),
         interpret=interpret,
-    )(st["count"], st["excl_count"], consts, lanebit, feat, pslab, sslab,
-      excl_bits)
+    )(st["count"], st["excl_count"], st["img_count"], consts, lanebit, feat,
+      pslab, sslab, excl_bits)
 
     f_sorted = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_pad, 3)
     forces = jnp.take(f_sorted, inv_order, axis=0).astype(pos.dtype)
@@ -342,19 +409,19 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
 def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
                      cutoff, max_cols, mode, alpha=0.0, krf=0.0, crf=0.0,
                      block=64, sort_cell=None, col_cap=None,
-                     interpret=False):
+                     interpret=False, use_shift=False):
     """One-shot build + sweep (energy, forces, overflow)."""
     st = build_tile_state(pos, box, charge, sigma, epsilon, exclusions,
                           n_real, cutoff, max_cols, block=block,
-                          sort_cell=sort_cell)
+                          sort_cell=sort_cell, use_shift=use_shift)
     e, f = eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=alpha,
                       krf=krf, crf=crf, block=block, interpret=interpret)
     return e, f, st["overflow"]
 
 
-def _kernel_body(count_ref, exclcnt_ref, consts_ref, lanebit_ref, row_ref,
-                 pslab_ref, sslab_ref, bits_ref, out_ref, *, mode, kc, b,
-                 want_energy=True):
+def _kernel_body(count_ref, exclcnt_ref, imgcnt_ref, consts_ref, lanebit_ref,
+                 row_ref, pslab_ref, sslab_ref, bits_ref, out_ref, *, mode,
+                 kc, b, want_energy=True):
     import jax.experimental.pallas as pl
 
     ri = pl.program_id(0)
@@ -366,25 +433,38 @@ def _kernel_body(count_ref, exclcnt_ref, consts_ref, lanebit_ref, row_ref,
 
     live = ci * kc < count_ref[ri]
     masked = ci * kc < exclcnt_ref[ri]
+    imaged = ci * kc < imgcnt_ref[ri]
 
-    # chunks that can contain excluded pairs pay the bitmask unpack;
-    # the (usual) exclusion-free chunks skip it entirely
+    # candidate classes are prefix-ordered [exclusion | needs-image | plain]:
+    # chunks that can contain excluded pairs pay the bitmask unpack, chunks
+    # in the image window pay the per-pair minimum image (everything, when
+    # shifts are not baked), and the remaining chunks run the bare sweep
     @pl.when(jnp.logical_and(live, masked))
     def _():
         _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
                       sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
-                      kc=kc, b=b, want_energy=want_energy, use_mask=True)
+                      kc=kc, b=b, want_energy=want_energy, use_mask=True,
+                      use_image=True)
 
-    @pl.when(jnp.logical_and(live, jnp.logical_not(masked)))
+    @pl.when(jnp.logical_and(live, jnp.logical_and(
+            jnp.logical_not(masked), imaged)))
     def _():
         _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
                       sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
-                      kc=kc, b=b, want_energy=want_energy, use_mask=False)
+                      kc=kc, b=b, want_energy=want_energy, use_mask=False,
+                      use_image=True)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(imaged)))
+    def _():
+        _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
+                      sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
+                      kc=kc, b=b, want_energy=want_energy, use_mask=False,
+                      use_image=False)
 
 
 def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
                   bits_ref, out_ref, ri, ci, *, mode, kc, b,
-                  want_energy=True, use_mask=True):
+                  want_energy=True, use_mask=True, use_image=True):
     import jax.experimental.pallas as pl  # noqa: F401
 
     alpha = consts_ref[0, 0]
@@ -411,16 +491,18 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
     dx = rvec(0) - cpos[0:1, :]
     dy = rvec(1) - cpos[1:2, :]
     dz = rvec(2) - cpos[2:3, :]
-    # staged triclinic minimum image (reduced box form)
-    sc = jnp.round(dz * inv_cz)
-    dx = dx - sc * box_cx
-    dy = dy - sc * box_cy
-    dz = dz - sc * box_cz
-    sb = jnp.round(dy * inv_by)
-    dx = dx - sb * box_bx
-    dy = dy - sb * box_by
-    sa = jnp.round(dx * inv_ax)
-    dx = dx - sa * box_ax
+    if use_image:
+        # staged triclinic minimum image (reduced box form); the shift
+        # variant pre-images candidates at build time and skips this
+        sc = jnp.round(dz * inv_cz)
+        dx = dx - sc * box_cx
+        dy = dy - sc * box_cy
+        dz = dz - sc * box_cz
+        sb = jnp.round(dy * inv_by)
+        dx = dx - sb * box_bx
+        dy = dy - sb * box_by
+        sa = jnp.round(dx * inv_ax)
+        dx = dx - sa * box_ax
     r2 = dx * dx + dy * dy + dz * dz
 
     if use_mask:

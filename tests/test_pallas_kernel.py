@@ -15,19 +15,19 @@ KRF = (1.0 / CUTOFF ** 3) * (78.3 - 1.0) / (2.0 * 78.3 + 1.0)
 CRF = (1.0 / CUTOFF) * 3.0 * 78.3 / (2.0 * 78.3 + 1.0)
 
 
-def water_like(n_mol=1728, seed=4):
+def water_like(n_mol=1728, seed=4, box_l=3.8):
     # box width must satisfy the compacted-column engine's one-image
     # condition: box/2 >= cutoff + block extent (see pallas_pairs docstring)
     rng = np.random.RandomState(seed)
     n = 3 * n_mol
     n_pad = ((n + 63) // 64) * 64
-    box = np.diag([3.8, 3.8, 3.8]).astype(np.float32)
+    box = np.diag([box_l, box_l, box_l]).astype(np.float32)
     pos = np.zeros((n_pad, 3), np.float32)
     # jittered lattice: realistic uniform density (clustered random placement
     # has unbounded per-block neighbor counts)
     side = int(np.ceil(n_mol ** (1.0 / 3.0)))
     g = (np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
-                  axis=-1).reshape(-1, 3)[:n_mol] + 0.5) * (3.8 / side)
+                  axis=-1).reshape(-1, 3)[:n_mol] + 0.5) * (box_l / side)
     centers = g + rng.uniform(-0.08, 0.08, size=(n_mol, 3))
     for m in range(n_mol):
         pos[3 * m] = centers[m]
@@ -81,10 +81,17 @@ def xla_ef(mode):
     return ef
 
 
+@pytest.mark.parametrize("use_shift", [False, True],
+                         ids=["perpair-image", "baked-shift"])
 @pytest.mark.parametrize("mode", [PP.MODE_EWALD, PP.MODE_RF],
                          ids=["ewald", "rf"])
-def test_pallas_matches_row_kernel(mode):
-    pos, box, q, sig, eps, excl, n = water_like()
+def test_pallas_matches_row_kernel(mode, use_shift):
+    # the shift variant needs box/2 > cutoff + both block extents; use a
+    # larger box (same density) there so the build-time validity check holds
+    if use_shift:
+        pos, box, q, sig, eps, excl, n = water_like(n_mol=4096, box_l=5.2)
+    else:
+        pos, box, q, sig, eps, excl, n = water_like()
     per_atom = {"charge": jnp.asarray(q), "sigma": jnp.asarray(sig),
                 "epsilon": jnp.asarray(eps)}
     e1, f1, o1 = P.pair_energy_force_rows(
@@ -95,7 +102,7 @@ def test_pallas_matches_row_kernel(mode):
         jnp.asarray(pos), jnp.asarray(box), jnp.asarray(q), jnp.asarray(sig),
         jnp.asarray(eps), jnp.asarray(excl), n, CUTOFF, max_cols=64,
         mode=mode, alpha=ALPHA, krf=KRF, crf=CRF, sort_cell=0.7,
-        col_cap=2048, interpret=True)
+        col_cap=2048, interpret=True, use_shift=use_shift)
     assert int(o1) == int(o2) == 0
     assert abs(float(e1 - e2)) < 1e-4 * max(1.0, abs(float(e1)))
     f1 = np.asarray(f1)[:n]

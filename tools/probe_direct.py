@@ -1,0 +1,97 @@
+"""Fast iteration harness for the direct-space Pallas kernel: synthetic
+DHFR-scale system (no ForceField/PDB overhead), times eval_tiles variants
+to localize instruction-level cost.
+
+Env knobs: N (atoms, default 23558), MODE (ewald|rf), WANT_E (0|1).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmm_tpu.ops import pallas_pairs as pp
+if "CPT" in os.environ:
+    pp.COLS_PER_TILE = int(os.environ["CPT"])
+from openmm_tpu.ops import pairs as pairs_mod
+
+
+def timeit(fn, *args, n=30, warmup=3):
+    for _ in range(warmup):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    n = int(os.environ.get("N", "23558"))
+    rho = 97.8
+    box_l = (n / rho) ** (1.0 / 3.0)
+    cutoff, skin = 0.9, 0.1
+    rng = np.random.RandomState(0)
+    pos_np = rng.uniform(0, box_l, (n, 3))
+    block = 64
+    n_pad = pairs_mod.pad_to_block(n, block)
+    pos = jnp.asarray(
+        np.concatenate([pos_np, np.tile(pos_np[:1], (n_pad - n, 1))]),
+        jnp.float32)
+    box = jnp.asarray(np.diag([box_l] * 3), jnp.float32)
+    charge = jnp.asarray(rng.uniform(-0.8, 0.4, n_pad), jnp.float32)
+    sigma = jnp.asarray(np.full(n_pad, 0.31), jnp.float32)
+    epsilon = jnp.asarray(np.full(n_pad, 0.6), jnp.float32)
+    # water-like exclusions: triples (3k+0,3k+1,3k+2) mutually excluded
+    excl = np.full((n_pad, 4), -1, np.int32)
+    for k in range(n // 3):
+        o, h1, h2 = 3 * k, 3 * k + 1, 3 * k + 2
+        excl[o, :2] = [h1, h2]
+        excl[h1, :2] = [o, h2]
+        excl[h2, :2] = [o, h1]
+    exclusions = jnp.asarray(excl)
+
+    nb = n_pad // block
+    vol = box_l ** 3
+    block_side = (block * vol / n) ** (1.0 / 3.0)
+    reach = cutoff + skin + 1.85 * block_side
+    neigh = (nb / vol) * (4.0 / 3.0) * np.pi * reach ** 3
+    max_cols = min(nb, int(neigh * 1.6) + 4)
+    print("n=%d nb=%d max_cols=%d box=%.2f" % (n, nb, max_cols, box_l))
+
+    use_shift = os.environ.get("SHIFT", "1") == "1"
+    build = jax.jit(lambda p: pp.build_tile_state(
+        p, box, charge, sigma, epsilon, exclusions, n, cutoff + skin,
+        max_cols, block=block, sort_cell=block_side, use_shift=use_shift))
+    st = build(pos)
+    jax.block_until_ready(st["count"])
+    print("build: %.3f ms  count mean=%.1f max=%d excl mean=%.1f  overflow=%d"
+          % (timeit(build, pos, n=5),
+             float(jnp.mean(st["count"])), int(jnp.max(st["count"])),
+             float(jnp.mean(st["excl_count"])), int(st["overflow"])))
+    print("img_count mean=%.1f max=%d (of count mean %.1f)"
+          % (float(jnp.mean(st["img_count"])), int(jnp.max(st["img_count"])),
+             float(jnp.mean(st["count"]))))
+
+    mode = pp.MODE_EWALD if os.environ.get("MODE", "ewald") == "ewald" \
+        else pp.MODE_RF
+    want_e = os.environ.get("WANT_E", "0") == "1"
+
+    def sweep(p):
+        return pp.eval_tiles(p, box, st, n, cutoff, mode, alpha=2.92,
+                             krf=0.6, crf=1.2, want_energy=want_e)
+    t = timeit(jax.jit(sweep), pos)
+    pairs = float(jnp.sum(st["count"].astype(jnp.float64))) * block * block
+    print("sweep(mode=%s, want_e=%s): %.3f ms  (%.1f Gpair-slots/s)"
+          % (os.environ.get("MODE", "ewald"), want_e, t, pairs / t / 1e6))
+
+
+if __name__ == "__main__":
+    main()
+
+# quick COLS_PER_TILE sweep: run with CPT env to override chunk width
