@@ -12,13 +12,39 @@ counterpart of the fused bonded kernel in BondedUtilities).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import unit as u
 from ..exceptions import OpenMMException
 from ..ops import geometry as geom
+from ..ops.bandsel import WindowedTerms
 from ..utils.splines import bicubic_coefficients_periodic
 from .base import CompiledForce, Force
+
+
+def _make_windowed_ef(eng, term_energy, fallback_energy, accum):
+    """Analytic-force fast path for a bonded force: slot positions via the
+    banded fwd matmul, grads of the pure term math (no gathers inside the
+    differentiated region), accumulation via the banded bwd matmul; the few
+    out-of-band terms run through the ordinary gather/scatter lane."""
+    def ef_fn(pos, box, p, gp):
+        slots = eng.fwd(pos)
+        e, g = jax.value_and_grad(lambda s: term_energy(s, p))(slots)
+        f = -eng.bwd(g, pos.shape[0])
+        if fallback_energy is not None:
+            e2, g2 = jax.value_and_grad(
+                lambda q: fallback_energy(q, box, p, gp))(pos)
+            e = e + e2.astype(e.dtype)
+            f = f - g2
+        return e.astype(accum), f
+    return ef_fn
+
+
+def _use_windowed(cfg, periodic, n_terms):
+    return (not periodic and n_terms > 0
+            and cfg.platform_name != "Reference"
+            and cfg.dtype == jnp.float32)
 
 _ENERGY_PER_NM2 = u.kilojoule_per_mole / u.nanometer ** 2
 _ENERGY_PER_RAD2 = u.kilojoule_per_mole / u.radian ** 2
@@ -75,12 +101,16 @@ class HarmonicBondForce(Force, _PeriodicMixin):
 
     def _pack_params(self, cfg):
         _, params = self._pack(cfg.dtype)
+        eng = getattr(self, "_weng", None)
+        if eng is not None:
+            for key in ("r0", "k"):
+                params["w_" + key] = eng.layout(params[key])
+                params["fb_" + key] = params[key][eng.fallback_ids]
         return {k: jnp.asarray(v) for k, v in params.items()}
 
     def _compile(self, system, cfg):
-        idx, params = self._pack(cfg.dtype)
-        idx = jnp.asarray(idx)
-        params = {k: jnp.asarray(v) for k, v in params.items()}
+        idx_np, _ = self._pack(cfg.dtype)
+        idx = jnp.asarray(idx_np)
         periodic = self._periodic
 
         def energy_fn(pos, box, p, gp):
@@ -91,9 +121,35 @@ class HarmonicBondForce(Force, _PeriodicMixin):
             e = 0.5 * p["k"] * (r - p["r0"]) ** 2
             return jnp.sum(e.astype(cfg.accum_dtype))
 
+        ef_fn = None
+        self._weng = None
+        if _use_windowed(cfg, periodic, len(self._bonds)):
+            eng = WindowedTerms(idx_np, cfg.n_particles)
+            if eng.B > 0:
+                self._weng = eng
+                fb = jnp.asarray(idx_np[eng.fallback_ids])
+
+                def term_energy(slots, p):
+                    dr = slots[:, :, 0] - slots[:, :, 1]
+                    r = geom.distance(dr)
+                    e = 0.5 * p["w_k"] * (r - p["w_r0"]) ** 2
+                    return jnp.sum(eng.live * e)
+
+                fallback = None
+                if len(eng.fallback_ids):
+                    def fallback(pos, box, p, gp):
+                        dr = geom.bond_vectors(pos, fb)
+                        r = geom.distance(dr)
+                        return jnp.sum(
+                            0.5 * p["fb_k"] * (r - p["fb_r0"]) ** 2)
+
+                ef_fn = _make_windowed_ef(eng, term_energy, fallback,
+                                          cfg.accum_dtype)
+        params = self._pack_params(cfg)
+
         return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
                              params=params, energy_fn=energy_fn,
-                             uses_pbc=periodic,
+                             ef_fn=ef_fn, uses_pbc=periodic,
                              bonded_particles=tuple(self._bonded_particles()))
 
 
@@ -132,17 +188,25 @@ class HarmonicAngleForce(Force, _PeriodicMixin):
     def _pack_params(self, cfg):
         if self._angles:
             arr = np.asarray(self._angles, np.float64)
-            return {"theta0": jnp.asarray(arr[:, 3].astype(cfg.dtype)),
-                    "k": jnp.asarray(arr[:, 4].astype(cfg.dtype))}
-        return {"theta0": jnp.zeros(0, cfg.dtype), "k": jnp.zeros(0, cfg.dtype)}
+            params = {"theta0": arr[:, 3].astype(cfg.dtype),
+                      "k": arr[:, 4].astype(cfg.dtype)}
+        else:
+            params = {"theta0": np.zeros(0, cfg.dtype),
+                      "k": np.zeros(0, cfg.dtype)}
+        eng = getattr(self, "_weng", None)
+        if eng is not None:
+            for key in ("theta0", "k"):
+                params["w_" + key] = eng.layout(params[key])
+                params["fb_" + key] = params[key][eng.fallback_ids]
+        return {k: jnp.asarray(v) for k, v in params.items()}
 
     def _compile(self, system, cfg):
         if self._angles:
             arr = np.asarray(self._angles, np.float64)
-            idx = jnp.asarray(arr[:, :3].astype(np.int32))
+            idx_np = arr[:, :3].astype(np.int32)
         else:
-            idx = jnp.zeros((0, 3), jnp.int32)
-        params = self._pack_params(cfg)
+            idx_np = np.zeros((0, 3), np.int32)
+        idx = jnp.asarray(idx_np)
         periodic = self._periodic
 
         def energy_fn(pos, box, p, gp):
@@ -155,9 +219,43 @@ class HarmonicAngleForce(Force, _PeriodicMixin):
             e = 0.5 * p["k"] * (theta - p["theta0"]) ** 2
             return jnp.sum(e.astype(cfg.accum_dtype))
 
+        ef_fn = None
+        self._weng = None
+        if _use_windowed(cfg, periodic, len(self._angles)):
+            eng = WindowedTerms(idx_np, cfg.n_particles)
+            if eng.B > 0:
+                self._weng = eng
+                fb = jnp.asarray(idx_np[eng.fallback_ids])
+                dead = (1.0 - eng.live)[:, :, None]
+                ex = jnp.array([1.0, 0.0, 0.0], cfg.dtype)
+                ey = jnp.array([0.0, 1.0, 0.0], cfg.dtype)
+
+                def term_energy(slots, p):
+                    # padding slots are all-zero: offset them onto fixed unit
+                    # vectors (constant wrt slots) so grads stay finite; their
+                    # energy is killed by live
+                    v1 = slots[:, :, 0] - slots[:, :, 1] + dead * ex
+                    v2 = slots[:, :, 2] - slots[:, :, 1] + dead * ey
+                    theta = geom.angle_between(v1, v2)
+                    e = 0.5 * p["w_k"] * (theta - p["w_theta0"]) ** 2
+                    return jnp.sum(eng.live * e)
+
+                fallback = None
+                if len(eng.fallback_ids):
+                    def fallback(pos, box, p, gp):
+                        v1 = geom.delta(pos[fb[:, 0]], pos[fb[:, 1]], None)
+                        v2 = geom.delta(pos[fb[:, 2]], pos[fb[:, 1]], None)
+                        theta = geom.angle_between(v1, v2)
+                        return jnp.sum(
+                            0.5 * p["fb_k"] * (theta - p["fb_theta0"]) ** 2)
+
+                ef_fn = _make_windowed_ef(eng, term_energy, fallback,
+                                          cfg.accum_dtype)
+        params = self._pack_params(cfg)
+
         return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
                              params=params, energy_fn=energy_fn,
-                             uses_pbc=periodic,
+                             ef_fn=ef_fn, uses_pbc=periodic,
                              bonded_particles=tuple(self._bonded_particles()))
 
 
@@ -204,19 +302,27 @@ class PeriodicTorsionForce(Force, _PeriodicMixin):
     def _pack_params(self, cfg):
         if self._torsions:
             arr = np.asarray(self._torsions, np.float64)
-            return {"n": jnp.asarray(arr[:, 4].astype(cfg.dtype)),
-                    "phase": jnp.asarray(arr[:, 5].astype(cfg.dtype)),
-                    "k": jnp.asarray(arr[:, 6].astype(cfg.dtype))}
-        return {"n": jnp.zeros(0, cfg.dtype), "phase": jnp.zeros(0, cfg.dtype),
-                "k": jnp.zeros(0, cfg.dtype)}
+            params = {"n": arr[:, 4].astype(cfg.dtype),
+                      "phase": arr[:, 5].astype(cfg.dtype),
+                      "k": arr[:, 6].astype(cfg.dtype)}
+        else:
+            params = {"n": np.zeros(0, cfg.dtype),
+                      "phase": np.zeros(0, cfg.dtype),
+                      "k": np.zeros(0, cfg.dtype)}
+        eng = getattr(self, "_weng", None)
+        if eng is not None:
+            for key in ("n", "phase", "k"):
+                params["w_" + key] = eng.layout(params[key])
+                params["fb_" + key] = params[key][eng.fallback_ids]
+        return {k: jnp.asarray(v) for k, v in params.items()}
 
     def _compile(self, system, cfg):
         if self._torsions:
             arr = np.asarray(self._torsions, np.float64)
-            idx = jnp.asarray(arr[:, :4].astype(np.int32))
+            idx_np = arr[:, :4].astype(np.int32)
         else:
-            idx = jnp.zeros((0, 4), jnp.int32)
-        params = self._pack_params(cfg)
+            idx_np = np.zeros((0, 4), np.int32)
+        idx = jnp.asarray(idx_np)
         periodic = self._periodic
 
         def energy_fn(pos, box, p, gp):
@@ -228,9 +334,47 @@ class PeriodicTorsionForce(Force, _PeriodicMixin):
             e = p["k"] * (1.0 + jnp.cos(p["n"] * phi - p["phase"]))
             return jnp.sum(e.astype(cfg.accum_dtype))
 
+        ef_fn = None
+        self._weng = None
+        if _use_windowed(cfg, periodic, len(self._torsions)):
+            eng = WindowedTerms(idx_np, cfg.n_particles)
+            if eng.B > 0:
+                self._weng = eng
+                fb = jnp.asarray(idx_np[eng.fallback_ids])
+                dead = (1.0 - eng.live)[:, :, None]
+                ex = jnp.array([1.0, 0.0, 0.0], cfg.dtype)
+                ey = jnp.array([0.0, 1.0, 0.0], cfg.dtype)
+                ez = jnp.array([0.0, 0.0, 1.0], cfg.dtype)
+
+                def term_energy(slots, p):
+                    # padding slots sit at the origin: offset each towards a
+                    # fixed non-degenerate dihedral (constant wrt slots) so
+                    # grads stay finite; live kills their energy
+                    r1 = slots[:, :, 0] + dead * ex
+                    r2 = slots[:, :, 1]
+                    r3 = slots[:, :, 2] + dead * ey
+                    r4 = slots[:, :, 3] + dead * (ey + ez)
+                    phi = geom.dihedral_angle(r1, r2, r3, r4, None)
+                    e = p["w_k"] * (1.0 + jnp.cos(p["w_n"] * phi
+                                                  - p["w_phase"]))
+                    return jnp.sum(eng.live * e)
+
+                fallback = None
+                if len(eng.fallback_ids):
+                    def fallback(pos, box, p, gp):
+                        phi = geom.dihedral_angle(
+                            pos[fb[:, 0]], pos[fb[:, 1]],
+                            pos[fb[:, 2]], pos[fb[:, 3]], None)
+                        return jnp.sum(p["fb_k"] * (1.0 + jnp.cos(
+                            p["fb_n"] * phi - p["fb_phase"])))
+
+                ef_fn = _make_windowed_ef(eng, term_energy, fallback,
+                                          cfg.accum_dtype)
+        params = self._pack_params(cfg)
+
         return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
                              params=params, energy_fn=energy_fn,
-                             uses_pbc=periodic,
+                             ef_fn=ef_fn, uses_pbc=periodic,
                              bonded_particles=tuple(self._bonded_particles()))
 
 

@@ -41,9 +41,8 @@ class CMMotionRemover(Force):
             state["velocities"] = vel
             return state, aux
 
-        def energy_fn(pos, box, p, gp):
-            return jnp.zeros((), cfg.accum_dtype)
-
+        # no energy_fn: contributes nothing to the potential, so keeping it
+        # out of the fused value_and_grad saves a zero-gradient lane
         return CompiledForce(name=self.getName(), force_group=self.getForceGroup(),
-                             params={}, energy_fn=energy_fn,
+                             params={}, energy_fn=None,
                              update_state_fn=update_state_fn)

@@ -384,6 +384,18 @@ class NonbondedForce(Force):
                 and self._method != NonbondedForce.LJPME:
             p["disp_coeff"] = np.asarray(self._dispersion_coefficient(),
                                          cfg.accum_dtype)
+        eng = getattr(self, "_exc_weng", None)
+        if eng is not None:
+            # windowed layouts for the banded exception engine, incl. the
+            # particle charge product the Ewald exclusion correction uses
+            qq = np.array([arr[e[0], 0] * arr[e[1], 0]
+                           for e in self._exceptions], np.float64) \
+                if m else np.zeros(0, np.float64)
+            p["exc_qq"] = qq.astype(cfg.dtype)
+            for key in ("exc_chargeprod", "exc_sigma", "exc_epsilon",
+                        "exc_qq"):
+                p["w_" + key] = eng.layout(p[key])
+                p["fb_" + key] = p[key][eng.fallback_ids]
         return {k: jnp.asarray(v) for k, v in p.items()}
 
     def _dispersion_coefficient(self):
@@ -756,7 +768,8 @@ class NonbondedForce(Force):
             box_min = min(float(box0[0][0]), float(box0[1][1]),
                           float(box0[2][2]))
             self._nl_use_shift = (
-                box_min > 2.0 * (cutoff + nl_skin) + 4.5 * block_side)
+                box_min > 2.0 * (cutoff + nl_skin) + 4.5 * block_side
+                and os.environ.get("OMM_TPU_NL_SHIFT", "0") == "1")
             direct_engine = ("pallas" if pallas_ok else "rows") \
                 if engine_env in ("auto", "perstep") else engine_env
         else:
@@ -773,6 +786,58 @@ class NonbondedForce(Force):
             zslab_cfg = pme_zslab.zslab_config(
                 n, pme_grid,
                 margin=1.25 * getattr(self, "_nl_scale", 1.0))
+
+        # windowed banded-selection exceptions (ops/bandsel.py): the
+        # exception pair terms and the Ewald exclusion corrections iterate
+        # the same static pair list, so both move off the gather+scatter
+        # autodiff lane onto analytic forces with block-banded matmuls.
+        # Requires static parameters (no offsets) and non-periodic exception
+        # math (the reference default; exceptions ignore the cutoff).
+        self._exc_weng = None
+        if (use_neighbor and dtype == jnp.float32 and not is_ljpme
+                and particle_offs is None and exception_offs is None
+                and not self._exceptions_use_pbc and len(self._exceptions)
+                and os.environ.get("OMM_TPU_EXC_WINDOWED", "1") == "1"):
+            from ..ops.bandsel import WindowedTerms
+            eng = WindowedTerms(np.asarray(exc_idx), n)
+            if eng.B > 0:
+                self._exc_weng = eng
+                params = self._pack_params(cfg)   # re-pack with w_/fb_ planes
+                exc_fb_idx = jnp.asarray(
+                    np.asarray(exc_idx)[eng.fallback_ids])
+
+                def exc_term_energy(slots, p):
+                    live = eng.live
+                    dr = slots[:, :, 0] - slots[:, :, 1]
+                    r2 = jnp.sum(dr * dr, axis=-1)
+                    r2s = jnp.where(live > 0, r2, 1.0)
+                    inv_r2 = 1.0 / r2s
+                    r = jnp.sqrt(r2s)
+                    inv_r = 1.0 / r
+                    sig6 = (p["w_exc_sigma"] ** 2 * inv_r2) ** 3
+                    e = 4.0 * p["w_exc_epsilon"] * sig6 * (sig6 - 1.0) \
+                        + ONE_4PI_EPS0 * p["w_exc_chargeprod"] * inv_r
+                    if is_ewald_family:
+                        ar = alpha * r
+                        # erf = 1 - erfc (Hastings); shares the exp
+                        erf_ar = 1.0 - _erfc_f32(ar, jnp.exp(-ar * ar))
+                        e = e - ONE_4PI_EPS0 * p["w_exc_qq"] * erf_ar * inv_r
+                    return jnp.sum(live * e)
+
+                def exc_fallback_energy(pos, box, p, gp):
+                    if exc_fb_idx.shape[0] == 0:
+                        return jnp.zeros((), accum)
+                    dr = geom.bond_vectors(pos, exc_fb_idx)
+                    r2 = jnp.sum(dr * dr, axis=-1)
+                    inv_r2 = 1.0 / r2
+                    r = jnp.sqrt(r2)
+                    sig6 = (p["fb_exc_sigma"] ** 2 * inv_r2) ** 3
+                    e = 4.0 * p["fb_exc_epsilon"] * sig6 * (sig6 - 1.0) \
+                        + ONE_4PI_EPS0 * p["fb_exc_chargeprod"] / r
+                    if is_ewald_family:
+                        e = e - ONE_4PI_EPS0 * p["fb_exc_qq"] \
+                            * jax.scipy.special.erf(alpha * r) / r
+                    return jnp.sum(e.astype(accum))
 
         def direct_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)
@@ -902,11 +967,15 @@ class NonbondedForce(Force):
             if not use_neighbor:
                 return None
 
+            exc_eng = self._exc_weng
+
             def rest_energy(pos, box, p, gp):
-                e = exception_energy(pos, box, p, gp)
-                if is_ewald_family:
-                    ch, sg, ep = effective_particle_params(p, gp)
-                    e = e + exclusion_correction(pos, box, ch, gp, sg, ep)
+                e = jnp.zeros((), accum)
+                if exc_eng is None:
+                    e = e + exception_energy(pos, box, p, gp)
+                    if is_ewald_family:
+                        ch, sg, ep = effective_particle_params(p, gp)
+                        e = e + exclusion_correction(pos, box, ch, gp, sg, ep)
                 if "disp_coeff" in p:
                     e = e + p["disp_coeff"] / geom.box_volume(box).astype(accum)
                 if include_recip:
@@ -928,6 +997,18 @@ class NonbondedForce(Force):
                     overflow = aux["overflow"]
                 e_d, f = direct_ef_from_state(pos, box, p, gp, st,
                                               want_energy=want_energy)
+                if exc_eng is not None:
+                    # banded exception + exclusion-correction lane (analytic
+                    # forces; the differentiated region has no gathers)
+                    slots = exc_eng.fwd(pos)
+                    e_x, g_x = jax.value_and_grad(
+                        lambda s: exc_term_energy(s, p))(slots)
+                    e_d = e_d + e_x.astype(accum)
+                    f = f - exc_eng.bwd(g_x, pos.shape[0])
+                    e_fb, g_fb = jax.value_and_grad(
+                        lambda q: exc_fallback_energy(q, box, p, gp))(pos)
+                    e_d = e_d + e_fb.astype(accum)
+                    f = f - g_fb
                 if include_recip and use_zslab:
                     from ..ops import pme_zslab
                     ch, _, _ = effective_particle_params(p, gp)

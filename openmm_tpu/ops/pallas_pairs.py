@@ -262,11 +262,19 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
         # words on the SUBLANE axis, row atoms on lanes
         return jnp.stack(words, axis=2)                     # (nb, mcc, 4, 64)
 
+    # bitmasks are stored only for the exclusion WINDOW (candidates are
+    # ordered exclusion-first, and only chunks below excl_count unpack
+    # masks): a full (nb, mc, 4, 64) table would be ~75 MB at protein scale
+    # and dominate both the build and the per-step aux traffic. Rows whose
+    # exclusion candidates exceed the capacity poison via overflow.
+    exc_cap = min(max_cols, 2 * COLS_PER_TILE)
+    overflow = overflow + jnp.sum(
+        jnp.maximum(excl_count - exc_cap, 0)).astype(jnp.int32)
     chunks = []
     step = 16
-    for c0 in range(0, max_cols, step):
+    for c0 in range(0, exc_cap, step):
         chunks.append(mask_chunk(code[:, c0:c0 + step]))
-    excl_bits = jnp.concatenate(chunks, axis=1)             # (nb, mc, 4, 64)
+    excl_bits = jnp.concatenate(chunks, axis=1)            # (nb, cap, 4, 64)
 
     # compacted STATIC candidate slab (params don't move): one build-time
     # block-row gather -> (nb, 3, mc*64) contiguous
@@ -308,6 +316,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     feat = st["feat"]
     code = st["code"]
     excl_bits = st["excl_bits"]
+    exc_chunks = excl_bits.shape[1] // COLS_PER_TILE
     sslab = st["sslab"]
     order = st["order"]
     inv_order = st["inv_order"]
@@ -387,9 +396,12 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                              lambda r, c, cnt, ecnt, icnt: (r, r * 0, c)),
                 pl.BlockSpec((1, 3, cw),
                              lambda r, c, cnt, ecnt, icnt: (r, r * 0, c)),
+                # bits exist only for the exclusion window; chunks past it
+                # never unpack masks, so clamp the index (re-fetch of an
+                # unchanged block is elided by the pipeline)
                 pl.BlockSpec((1, COLS_PER_TILE, 4, block),
-                             lambda r, c, cnt, ecnt, icnt:
-                                 (r, c, r * 0, r * 0)),
+                             lambda r, c, cnt, ecnt, icnt, _m=exc_chunks - 1:
+                                 (r, jnp.minimum(c, _m), r * 0, r * 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 4, block),
@@ -531,7 +543,9 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
         # f32 literals: Python floats promote to f64 under the global
         # x64 flag, and 64-bit vregs abort the TPU compiler
         scale = jnp.where(r2 < rc2, jnp.float32(1.0), jnp.float32(0.0))
-    r2s = jnp.where(scale > 0.5, jnp.maximum(r2, 2e-6), 1.0)
+    # plain clamp: excluded/self pairs (r2 ~ 0) are zeroed by `scale`, and
+    # the dummy block sits far away, so the branchless max suffices
+    r2s = jnp.maximum(r2, 2e-6)
 
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r

@@ -177,9 +177,18 @@ def build_z_state(pos, box, charges, grid, cfg):
     else:
         zorder_ext = zorder_ext[:n_ext]
     # K2 chunk plane windows need the BUILD cell to unwrap seam-crossing
-    # drift (see pme_recip_ef)
+    # drift (see pme_recip_ef). Charges are static between rebuilds, so the
+    # z-sorted charge plane is baked here (zero for padding slots).
+    q_s = charges.astype(jnp.float32)
+    if n_p > q_s.shape[0]:
+        q_s = jnp.concatenate(
+            [q_s, jnp.zeros((n_p - q_s.shape[0],), jnp.float32)])
+    q_s = q_s[zorder]
+    if n < n_p:
+        q_s = q_s.at[n:].set(0.0)
     return {"zorder": zorder, "inv_zorder": inv_zorder,
             "zorder_ext": zorder_ext, "cell_build": cell_p,
+            "q_sorted": q_s,
             "sq": sq.astype(jnp.int32), "nwin": nwin.astype(jnp.int32),
             "overflow": overflow.astype(jnp.int32)}
 
@@ -355,9 +364,17 @@ def pme_recip_ef(pos, charges, box, grid, order, alpha, bsq_x, bsq_y, bsq_z,
     nxp, nyp = cfg["nxp"], cfg["nyp"]
     f32 = jnp.float32
 
+    # ONE row gather into the persisted z-order; every weight plane is then
+    # computed directly in the sorted frame (the previous design computed
+    # weights in user order and paid ~8 per-plane gathers per step — row
+    # gathers are issue-bound at ~30-40 ns/row on this hardware)
     binv = geom.box_inverse(box).astype(f32)
     posf = pos.astype(f32)
-    frac = geom.to_fractional(posf, binv)
+    if n_p > posf.shape[0]:
+        posf = jnp.concatenate(
+            [posf, jnp.broadcast_to(posf[0], (n_p - posf.shape[0], 3))])
+    pos_s = posf[zstate["zorder"]]                          # (n_p, 3)
+    frac = geom.to_fractional(pos_s, binv)
     frac = frac - jnp.floor(frac)
     u = frac * jnp.array([nx, ny, nz], f32)
     base = jnp.floor(u)
@@ -367,29 +384,32 @@ def pme_recip_ef(pos, charges, box, grid, order, alpha, bsq_x, bsq_y, bsq_z,
     wy5, dwy5 = bspline_w_dw(t[:, 1], order)
     wz5, dwz5 = bspline_w_dw(t[:, 2], order)
 
-    q = charges.astype(f32)
-    Wx = _dense_axis(wx5, base[:, 0], order - 1, nx, nxp)   # (n, nxp)
+    q = zstate["q_sorted"]                                  # (n_p,) sorted
+    Wx = _dense_axis(wx5, base[:, 0], order - 1, nx, nxp)   # (n_p, nxp)
     dWx = _dense_axis(dwx5, base[:, 0], order - 1, nx, nxp)
     Wy = _dense_axis(wy5, base[:, 1], order - 1, ny, nyp)
     dWy = _dense_axis(dwy5, base[:, 1], order - 1, ny, nyp)
     A = q[:, None] * Wx
 
-    def padrows(x, rows, fill=0.0):
-        if x.shape[0] >= rows:
-            return x[:rows]
-        pad = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad, constant_values=fill)
-
     bz = base[:, 2]
-    # K1 (spread): circular-extended z-sorted arrays; plane selection uses
+    # K1 (spread): circular extension = slices of the sorted arrays (the
+    # wrap copy re-reads the first `cap` sorted rows); plane selection uses
     # the CURRENT base with mod-nz arithmetic, so seam drift needs no unwrap
-    zx = zstate["zorder_ext"]                              # (n_ext,)
-    A_e = padrows(A, n_p)[zx]
-    Wy_e = padrows(Wy, n_p)[zx]
+    wrap = min(cap, n)
+    tail = n_ext - n - wrap
+
+    def extend(x):
+        parts = [x[:n], x[:wrap]]
+        if tail > 0:
+            parts.append(jnp.zeros((tail,) + x.shape[1:], x.dtype))
+        return jnp.concatenate(parts)
+
+    A_e = extend(A)
+    Wy_e = extend(Wy)
     wzb = jnp.concatenate(
-        [wz5, bz[:, None].astype(f32), jnp.zeros((pos.shape[0], 2), f32)],
-        axis=1)                                            # (n, 8)
-    wzb_e = padrows(wzb, n_p)[zx]
+        [wz5, bz[:, None].astype(f32), jnp.zeros((n_p, 2), f32)],
+        axis=1)                                            # (n_p, 8)
+    wzb_e = extend(wzb)
 
     nwin_max = cap // CHUNK
     grid_k1 = (nz, nwin_max)
@@ -433,13 +453,11 @@ def pme_recip_ef(pos, charges, box, grid, order, alpha, bsq_x, bsq_y, bsq_z,
                                 (0, 0), (0, 0)))
 
     cell_b = zstate["cell_build"]                          # (n_p,) sorted
-    bz_p = bz if n_p == pos.shape[0] else jnp.concatenate(
-        [bz, jnp.zeros((n_p - pos.shape[0],), bz.dtype)])
-    bz_s = bz_p[zstate["zorder"]]
+    bz_s = bz                                              # sorted frame
     if n < n_p:
         # padding slots sort last; give them the sorted-last real base so
         # chunk spans and window minima stay tight
-        bz_s = bz_s.at[n:].set(bz_s[n - 1])
+        bz_s = jnp.where(jnp.arange(n_p) >= n, bz_s[n - 1], bz_s)
     # unwrap current base against the build cell (seam-crossing drift)
     d = cell_b - bz_s
     bz_u = bz_s + nz * jnp.round(d.astype(f32) / nz).astype(jnp.int32)
@@ -451,16 +469,10 @@ def pme_recip_ef(pos, charges, box, grid, order, alpha, bsq_x, bsq_y, bsq_z,
     span_bad = jnp.any((jnp.max(bz_c, axis=1) - jnp.min(bz_c, axis=1))
                        > pwin - 8)
 
-    Wx_s = padrows(Wx, n_p)[zstate["zorder"]]
-    dWx_s = padrows(dWx, n_p)[zstate["zorder"]]
-    dWy_s = padrows(dWy, n_p)[zstate["zorder"]]
     wzb_u = jnp.concatenate(
-        [wz5, jnp.zeros((pos.shape[0], 3), f32)], axis=1)
-    wzb_u = padrows(wzb_u, n_p)[zstate["zorder"]]
-    wzb_u = wzb_u.at[:, 5].set(bz_u.astype(f32))
+        [wz5, bz_u[:, None].astype(f32), jnp.zeros((n_p, 2), f32)], axis=1)
     dwzb = jnp.concatenate(
-        [dwz5, jnp.zeros((pos.shape[0], 3), f32)], axis=1)
-    dwzb = padrows(dwzb, n_p)[zstate["zorder"]]
+        [dwz5, jnp.zeros((n_p, 3), f32)], axis=1)
 
     def aspec():
         return pl.BlockSpec((CHUNK, nxp), lambda c, p, pq: (c, c * 0))
@@ -485,17 +497,17 @@ def pme_recip_ef(pos, charges, box, grid, order, alpha, bsq_x, bsq_y, bsq_z,
         ),
         out_shape=jax.ShapeDtypeStruct((nchunks, 8, CHUNK), f32),
         interpret=interpret,
-    )(pq, phi_ext, Wx_s, dWx_s,
-      padrows(Wy, n_p)[zstate["zorder"]], dWy_s, wzb_u, dwzb)
+    )(pq, phi_ext, Wx, dWx, Wy, dWy, wzb_u, dwzb)
 
-    gx = out[:, 0, :].reshape(n_p)[zstate["inv_zorder"]][:n]
-    gy = out[:, 1, :].reshape(n_p)[zstate["inv_zorder"]][:n]
-    gz = out[:, 2, :].reshape(n_p)[zstate["inv_zorder"]][:n]
+    # forces assembled in the sorted frame, then ONE ungather row-gather
+    g3 = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_p, 3)
+    gx, gy, gz = g3[:, 0], g3[:, 1], g3[:, 2]
     # chain rule: u_a = n_a * frac_a, dfrac_a/dpos_k = binv[k, a]
     bi = binv
     fx = -(gx * nx * bi[0, 0]) * q
     fy = -(gx * nx * bi[1, 0] + gy * ny * bi[1, 1]) * q
     fz = -(gx * nx * bi[2, 0] + gy * ny * bi[2, 1] + gz * nz * bi[2, 2]) * q
-    forces = jnp.stack([fx, fy, fz], axis=-1).astype(pos.dtype)
+    f_sorted = jnp.stack([fx, fy, fz], axis=-1)
+    forces = f_sorted[zstate["inv_zorder"]][:n].astype(pos.dtype)
     poison = jnp.where(span_bad, jnp.nan, 0.0)
     return energy + poison, forces + poison.astype(forces.dtype)

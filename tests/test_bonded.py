@@ -159,3 +159,59 @@ def test_update_parameters_in_context():
     f.updateParametersInContext(ctx)
     assert_equal_tol(0.5 * 2.0 * 1.0,
                      ctx.getState(getEnergy=True).getPotentialEnergy(), TOL)
+
+
+def test_windowed_bonded_matches_autodiff():
+    """The banded-selection ef_fn (ops/bandsel.py) must reproduce the
+    gather/autodiff oracle for bonds, angles, and torsions, including
+    out-of-band fallback terms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from openmm_tpu.forces.bonded import (HarmonicBondForce,
+                                          HarmonicAngleForce,
+                                          PeriodicTorsionForce)
+    from openmm_tpu.forces.base import CompileConfig
+
+    rng = np.random.RandomState(3)
+    n = 700
+    pos = jnp.asarray(rng.uniform(0, 4.0, (n, 3)).astype(np.float32))
+    box = jnp.asarray(np.diag([50.0] * 3).astype(np.float32))
+
+    bond = HarmonicBondForce()
+    for _ in range(400):
+        i = rng.randint(0, n - 9)
+        bond.addBond(i, i + rng.randint(1, 9), 0.12 + 0.05 * rng.rand(),
+                     1000.0 * (1 + rng.rand()))
+    bond.addBond(2, n - 3, 0.5, 800.0)          # out-of-band fallback
+
+    ang = HarmonicAngleForce()
+    for _ in range(300):
+        i = rng.randint(0, n - 12)
+        ang.addAngle(i, i + rng.randint(1, 6), i + rng.randint(6, 12),
+                     1.9 + 0.2 * rng.rand(), 400.0)
+    ang.addAngle(1, 5, n - 2, 1.8, 350.0)       # fallback
+
+    tor = PeriodicTorsionForce()
+    for _ in range(300):
+        i = rng.randint(0, n - 16)
+        js = i + np.sort(rng.choice(np.arange(1, 16), 3, replace=False))
+        tor.addTorsion(i, int(js[0]), int(js[1]), int(js[2]),
+                       int(rng.randint(1, 4)), float(rng.rand()), 8.0)
+    tor.addTorsion(0, 3, 7, n - 1, 2, 0.4, 5.0)  # fallback
+
+    cfg = CompileConfig(n_particles=n, dtype=jnp.float32,
+                        accum_dtype=jnp.float32,
+                        masses=np.ones(n), uses_pbc=False,
+                        platform_name="TPU", pair_block=256, mesh=None)
+    for force in (bond, ang, tor):
+        m = force._compile(None, cfg)
+        assert m.ef_fn is not None, type(force).__name__
+        e_ref, g = jax.value_and_grad(
+            lambda q: m.energy_fn(q, box, m.params, {}))(pos)
+        e_fast, f_fast = m.ef_fn(pos, box, m.params, {})
+        assert abs(float(e_ref - e_fast)) < 1e-3 * max(1.0, abs(float(e_ref)))
+        f_ref = -np.asarray(g)
+        scale = np.abs(f_ref).max()
+        err = np.abs(np.asarray(f_fast) - f_ref).max()
+        assert err < 2e-4 * scale, (type(force).__name__, err, scale)

@@ -105,6 +105,16 @@ def main():
     print("hooks alone (amortized): %.3f ms"
           % timeit_loop(hooks_only, state, params))
 
+    # each hook individually
+    for hi, (hook, pidx) in enumerate(deps.update_hooks):
+        def one(state, params_list, hook=hook):
+            return hook(state, params_list)
+        try:
+            print("  hook[%d] (module %s) amortized: %.3f ms"
+                  % (hi, pidx, timeit_loop(one, state, params)))
+        except Exception as e:
+            print("  hook[%d] FAILED: %s" % (hi, str(e)[:80]))
+
     # constraints
     pos = state["positions"]
     vel = state["velocities"]
@@ -164,6 +174,23 @@ def main():
                                           bx, by, bz, zst, zcfg)
         print("pme z-slab ef alone (grid %s): %.3f ms"
               % (grid, timeit(jax.jit(zslab), pos, state["box"])))
+
+    # fused bonded lane exactly as the step runs it: value_and_grad over
+    # every non-fast module's energy at once
+    fast_idx = {i_nb}
+
+    def pe_rest(pos, box):
+        e = jnp.zeros((), jnp.float32)
+        for i, m in enumerate(ctx._modules):
+            if m.energy_fn is None or i in fast_idx:
+                continue
+            e = e + m.energy_fn(pos, box, params[i], gp).astype(jnp.float32)
+        return e
+
+    def rest_grad(pos, box):
+        return jax.value_and_grad(lambda q: pe_rest(q, box))(pos)
+    print("fused bonded/rest value_and_grad: %.3f ms"
+          % timeit(jax.jit(rest_grad), pos, state["box"]))
 
     # bonded + other modules via value_and_grad of energy_fn
     for i, m in enumerate(ctx._modules):
