@@ -26,7 +26,8 @@ from .gayberne import GayBerneForce
 from .custommanyparticle import CustomManyParticleForce
 from .drude import DrudeForce
 from .amoeba import (AmoebaVdwForce, AmoebaMultipoleForce,
-                     AmoebaTorsionTorsionForce, AmoebaWcaDispersionForce)
+                     AmoebaTorsionTorsionForce, AmoebaWcaDispersionForce,
+                     AmoebaGeneralizedKirkwoodForce)
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -44,6 +45,7 @@ __all__ = [
     "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
     "CustomManyParticleForce", "DrudeForce", "AmoebaVdwForce",
     "AmoebaMultipoleForce", "AmoebaTorsionTorsionForce", "AmoebaWcaDispersionForce",
+    "AmoebaGeneralizedKirkwoodForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",

@@ -431,9 +431,15 @@ class AmoebaMultipoleForce(Force):
             # Bisector: z = bisector of z and x dirs
             uz = jnp.where(at == AmoebaMultipoleForce.Bisector,
                            unit(unit(zdir) + unit(xdir)), uz)
-            # default x: component of xdir orthogonal to z
+            # ThreeFold: z = sum of the three unit axis vectors
+            uz = jnp.where(at == AmoebaMultipoleForce.ThreeFold,
+                           unit(unit(zdir) + unit(xdir) + unit(ydir)), uz)
+            # default x: component of xdir orthogonal to z; ZBisect takes
+            # the bisector of the x and y directions as the raw x axis
+            ux_raw = jnp.where(at == AmoebaMultipoleForce.ZBisect,
+                               unit(unit(xdir) + unit(ydir)), unit(xdir))
             ux_raw = jnp.where(at == AmoebaMultipoleForce.ZOnly,
-                               jnp.array([1.0, 0.0, 0.0], dt), unit(xdir))
+                               jnp.array([1.0, 0.0, 0.0], dt), ux_raw)
             ux = unit(ux_raw - uz * jnp.sum(ux_raw * uz, -1, keepdims=True))
             # fallback when x degenerate
             alt = jnp.cross(uz, jnp.array([0.0, 0.0, 1.0], dt))
@@ -504,8 +510,11 @@ class AmoebaMultipoleForce(Force):
             e = e + (-qj * di_r + qi * dj_r) * inv_r3
             # - d_i^a d_j^b T_ab
             e = e - (3.0 * di_r * dj_r * inv_r5 - di_dj * inv_r3)
-            # (1/3)(q_i Theta_j + q_j Theta_i) : T_ab
-            e = e + (1.0 / 3.0) * (
+            # (q_i Theta_j + q_j Theta_i) : T_ab — the API stores the
+            # TINKER-convention quadrupole, which the reference contracts
+            # with unit weight (verified against the reference binary:
+            # E_cq = q * (Q_stored : T))
+            e = e + (
                 qi * (3.0 * rQj_r * inv_r5 - tr_Qi[None, :] * inv_r3)
                 + qj * (3.0 * rQi_r * inv_r5 - tr_Qi[:, None] * inv_r3))
             # (1/3)(d_i : Theta_j T_abc - Theta_i : d_j T_abc)
@@ -515,7 +524,7 @@ class AmoebaMultipoleForce(Force):
                     + 3.0 * (di_r * tr_Qi[None, :] + 2.0 * di_Qj_r) * inv_r5)
             t3_j = (-15.0 * dj_r * rQi_r * inv_r7
                     + 3.0 * (dj_r * tr_Qi[:, None] + 2.0 * dj_Qi_r) * inv_r5)
-            e = e + (1.0 / 3.0) * (t3_i - t3_j)
+            e = e + (t3_i - t3_j)
             # (1/9) Theta_i^ab Theta_j^cd T_abcd:
             #  105 rQir rQjr /r^9
             #  -15 [ rQir trQj + rQjr trQi + 4 rQiQjr ] /r^7
@@ -525,24 +534,12 @@ class AmoebaMultipoleForce(Force):
                             + 4.0 * QiQj_rr) * inv_r7
                   + 3.0 * (tr_Qi[:, None] * tr_Qi[None, :] + 2.0 * Qi_Qj)
                   * inv_r5)
-            e = e + (1.0 / 9.0) * t4
+            e = e + t4
             e_perm = 0.5 * ONE_4PI_EPS0 * jnp.sum(
                 jnp.where(mask, e * m_s, 0.0).astype(accum))
 
-            # permanent field at site i: -D phi_j(r_i)
-            # -D(q G) = q r/r^3 ; -D(-d.DG) = (3(d.r)r/r^5 - d/r^3)... with
-            # signs: field = q_j dr/r^3 + 3(d_j.r)dr/r^5 - d_j/r^3 + quad
-            f_q = qj[:, :, None] * dr * inv_r3[:, :, None]
-            f_d = (3.0 * dj_r[:, :, None] * dr * inv_r5[:, :, None]
-                   - d_lab[None, :, :] * inv_r3[:, :, None])
-            # -(1/3) D(Theta_j : DDG) = (1/3)[15 (rQr) r/r^7
-            #        - 3(2 Q r + tr(Q) r)/r^5 ]... assembled:
-            f_quad = (5.0 * rQj_r[:, :, None] * dr * inv_r7[:, :, None]
-                      - (2.0 * Qj_r + tr_Qi[None, :, None] * dr)
-                      * inv_r5[:, :, None])
-            field_terms = f_q + f_d + f_quad
-
-            # Thole damping for induction
+            # Thole-damped inverse distances (getAndScaleInverseRs):
+            # lam3/lam5/lam7 damp successive tensor orders separately
             dd = damp[:, None] * damp[None, :]
             dd = jnp.where(dd > 0, dd, 1.0)
             a_th = jnp.minimum(p["thole"][:, None], p["thole"][None, :])
@@ -550,12 +547,24 @@ class AmoebaMultipoleForce(Force):
             expu = jnp.exp(-jnp.minimum(uu, 50.0))
             lam3 = jnp.where(mask, 1.0 - expu, 0.0)
             lam5 = jnp.where(mask, 1.0 - (1.0 + uu) * expu, 0.0)
+            lam7 = jnp.where(mask,
+                             1.0 - (1.0 + uu + 0.6 * uu * uu) * expu, 0.0)
 
-            f_scaled = field_terms * (d_s * lam3)[:, :, None]
-            e_field = jnp.sum(f_scaled, axis=1)
-            return e_perm, e_field, (dr, r, inv_r3, inv_r5, lam3, lam5, mask)
+            # permanent field at site i (calculateFixedMultipoleFieldPairIxn,
+            # with dr = r_i - r_j): dr*(lam3 q_j/r^3 + 3 lam5 (d_j.dr)/r^5
+            # + 15 lam7 (dr Q_j dr)/r^7) - lam3 d_j/r^3 - 6 lam5 Q_j.dr/r^5
+            radial = (qj * lam3 * inv_r3 + 3.0 * dj_r * lam5 * inv_r5
+                      + 15.0 * rQj_r * lam7 * inv_r7)
+            field_terms = (radial[:, :, None] * dr
+                           - d_lab[None, :, :] * (lam3 * inv_r3)[:, :, None]
+                           - 6.0 * Qj_r * (lam5 * inv_r5)[:, :, None])
 
-        def induce(p, e_field, geom_cache):
+            e_field = jnp.sum(field_terms * d_s[:, :, None], axis=1)
+            e_field_p = jnp.sum(field_terms * p_s[:, :, None], axis=1)
+            return e_perm, e_field, e_field_p, \
+                (dr, r, inv_r3, inv_r5, lam3, lam5, mask)
+
+        def induce(p, e_field, geom_cache, extra_field_fn=None):
             dr, r, inv_r3, inv_r5, lam3e, lam5e, mask = geom_cache
             alpha = p["polarity"][:, None]
 
@@ -563,7 +572,10 @@ class AmoebaMultipoleForce(Force):
                 mu_r = jnp.einsum("jk,ijk->ij", mu, dr)
                 f = (mu[None, :, :] * (lam3e * inv_r3)[:, :, None]
                      - 3.0 * (mu_r * lam5e * inv_r5)[:, :, None] * dr)
-                return -jnp.sum(f * u_sj[:, :, None], axis=1)
+                out = -jnp.sum(f * u_sj[:, :, None], axis=1)
+                if extra_field_fn is not None:
+                    out = out + extra_field_fn(mu)
+                return out
 
             mu0 = alpha * e_field
             if polarization == AmoebaMultipoleForce.Direct:
@@ -583,12 +595,73 @@ class AmoebaMultipoleForce(Force):
 
             return jax.lax.fori_loop(0, max_iter, body, mu0)
 
+        # generalized Kirkwood implicit solvent: evaluated inside this
+        # force, exactly as the reference couples its GK kernel into the
+        # multipole kernel (AmoebaReferenceGeneralizedKirkwoodMultipoleForce)
+        gk = None
+        for f in system.getForces():
+            if isinstance(f, AmoebaGeneralizedKirkwoodForce):
+                gk = f
+        if gk is not None:
+            from ..ops import gk as gk_ops
+            gk_radii = jnp.asarray(np.asarray(
+                [pp[1] for pp in gk._particles]).astype(dt))
+            gk_scales = jnp.asarray(np.asarray(
+                [pp[2] for pp in gk._particles]).astype(dt))
+            gk_eps = gk._solvent_dielectric
+            gk_cavity = gk._include_cavity
+            gk_probe = gk._probe_radius
+            gk_safac = gk._surface_area_factor
+
+        def gk_extra_energy(pos, p, e_field, geom_cache):
+            """Born radii + solvated SCF + GK pair energies + cavity."""
+            from ..ops import gk as gk_ops
+            d_lab, q_lab = lab_multipoles(pos, p)
+            born = gk_ops.grycuk_born_radii(pos, gk_radii, gk_scales)
+            setup = gk_ops.gk_setup(pos, born, p["charge"], d_lab, q_lab,
+                                    gk_eps)
+            gk_field = gk_ops.gk_permanent_field(setup)
+
+            def gk_mu_field(mu):
+                return gk_ops.gk_dipole_field(setup, mu)
+
+            mu_s = induce(p, e_field + gk_field, geom_cache,
+                          extra_field_fn=gk_mu_field)
+            e_gp = ONE_4PI_EPS0 * gk_ops.gk_energy_permanent(setup)
+            e_gi = ONE_4PI_EPS0 * gk_ops.gk_energy_induced(setup, mu_s)
+            e = e_gp + e_gi
+            if gk_cavity:
+                e = e + gk_ops.cavity_energy(gk_radii, born, gk_probe,
+                                             gk_safac)
+            import os as _os
+            if _os.environ.get("OMM_GK_DEBUG"):
+                import jax as _jax
+                if not isinstance(e, _jax.core.Tracer):
+                    mu_v = induce(p, e_field, geom_cache)
+                    print("GK parts: e_gk_perm=%.6f e_gk_ind=%.6f "
+                          "e_pol_S=%.6f e_pol_vac=%.6f muS_gkF=%.6f"
+                          % (float(e_gp), float(e_gi),
+                             float(-0.5 * ONE_4PI_EPS0
+                                   * jnp.sum(mu_s * e_field)),
+                             float(-0.5 * ONE_4PI_EPS0
+                                   * jnp.sum(mu_v * e_field)),
+                             float(-0.5 * ONE_4PI_EPS0
+                                   * jnp.sum(mu_s * gk_field))))
+            return e, mu_s
+
         def energy_fn(pos, box, p, gp):
-            e_perm, e_field, geom_cache = fields_and_energy(pos, box, p, gp)
+            e_perm, e_field, e_field_p, geom_cache = \
+                fields_and_energy(pos, box, p, gp)
             if jnp.ndim(p["polarity"]) and n > 0:
+                if gk is not None:
+                    e_gk, mu_s = gk_extra_energy(pos, p, e_field, geom_cache)
+                    # polarization energy of the SOLVATED dipoles against the
+                    # p-scaled permanent field (base epol + TINKER ediff)
+                    e_pol = -0.5 * ONE_4PI_EPS0 * jnp.sum(mu_s * e_field_p)
+                    return e_perm + (e_pol + e_gk).astype(accum)
                 mu = induce(p, e_field, geom_cache)
                 # polarization energy: -1/2 mu . E_perm (p-scaled field)
-                e_pol = -0.5 * ONE_4PI_EPS0 * jnp.sum(mu * e_field)
+                e_pol = -0.5 * ONE_4PI_EPS0 * jnp.sum(mu * e_field_p)
                 return e_perm + e_pol.astype(accum)
             return e_perm
 
@@ -597,7 +670,7 @@ class AmoebaMultipoleForce(Force):
                            uses_pbc=False)
 
         def induced_fn(pos, box, p, gp):
-            _, e_field, geom_cache = fields_and_energy(pos, box, p, gp)
+            _, e_field, _, geom_cache = fields_and_energy(pos, box, p, gp)
             return induce(p, e_field, geom_cache)
 
         cf._induced_fn = induced_fn
@@ -655,6 +728,7 @@ class AmoebaMultipoleForce(Force):
         def rotation_matrices(pos):
             zdir = pos[atom_z] - pos
             xdir = pos[atom_x] - pos
+            ydir = pos[atom_y] - pos
 
             def unit(v):
                 return v / jnp.sqrt(jnp.maximum(
@@ -664,8 +738,12 @@ class AmoebaMultipoleForce(Force):
             at = axis_type[:, None]
             uz = jnp.where(at == AmoebaMultipoleForce.Bisector,
                            unit(unit(zdir) + unit(xdir)), uz)
+            uz = jnp.where(at == AmoebaMultipoleForce.ThreeFold,
+                           unit(unit(zdir) + unit(xdir) + unit(ydir)), uz)
+            ux_raw = jnp.where(at == AmoebaMultipoleForce.ZBisect,
+                               unit(unit(xdir) + unit(ydir)), unit(xdir))
             ux_raw = jnp.where(at == AmoebaMultipoleForce.ZOnly,
-                               jnp.array([1.0, 0.0, 0.0], dt), unit(xdir))
+                               jnp.array([1.0, 0.0, 0.0], dt), ux_raw)
             ux = unit(ux_raw - uz * jnp.sum(ux_raw * uz, -1, keepdims=True))
             alt = jnp.cross(uz, jnp.array([0.0, 0.0, 1.0], dt))
             alt2 = jnp.cross(uz, jnp.array([0.0, 1.0, 0.0], dt))
@@ -726,8 +804,7 @@ class AmoebaMultipoleForce(Force):
             Q = Q + tri(dF[:, 0:1] * dWx, Wy, Wz)
             Q = Q + tri(dF[:, 1:2] * Wx, dWy, Wz)
             Q = Q + tri(dF[:, 2:3] * Wx, Wy, dWz)
-            third = 1.0 / 3.0
-            Q = Q + third * (
+            Q = Q + (
                 tri(QF[:, 0, 0:1] * d2Wx, Wy, Wz)
                 + tri(QF[:, 1, 1:2] * Wx, d2Wy, Wz)
                 + tri(QF[:, 2, 2:3] * Wx, Wy, d2Wz)
@@ -777,20 +854,20 @@ class AmoebaMultipoleForce(Force):
             e = qi * qj * K1
             e = e + (-qj * di_r + qi * dj_r) * K2
             e = e - (3.0 * di_r * dj_r * K3 - di_dj * K2)
-            e = e + (1.0 / 3.0) * (
+            e = e + (
                 qi * (3.0 * rQj_r * K3 - tr_Q[None, :] * K2)
                 + qj * (3.0 * rQi_r * K3 - tr_Q[:, None] * K2))
             t3_i = (-15.0 * di_r * rQj_r * K4
                     + 3.0 * (di_r * tr_Q[None, :] + 2.0 * di_Qj_r) * K3)
             t3_j = (-15.0 * dj_r * rQi_r * K4
                     + 3.0 * (dj_r * tr_Q[:, None] + 2.0 * dj_Qi_r) * K3)
-            e = e + (1.0 / 3.0) * (t3_i - t3_j)
+            e = e + (t3_i - t3_j)
             t4 = (105.0 * rQi_r * rQj_r * K5
                   - 15.0 * (rQi_r * tr_Q[None, :] + rQj_r * tr_Q[:, None]
                             + 4.0 * QiQj_rr) * K4
                   + 3.0 * (tr_Q[:, None] * tr_Q[None, :] + 2.0 * Qi_Qj)
                   * K3)
-            e = e + (1.0 / 9.0) * t4
+            e = e + t4
             return e
 
         def tensor_field(C, dr, d_lab, K2, K3, K4):
@@ -801,9 +878,9 @@ class AmoebaMultipoleForce(Force):
             f_q = qj[:, :, None] * dr * K2[:, :, None]
             f_d = (3.0 * dj_r[:, :, None] * dr * K3[:, :, None]
                    - d_lab[None, :, :] * K2[:, :, None])
-            f_quad = (5.0 * rQj_r[:, :, None] * dr * K4[:, :, None]
-                      - (2.0 * Qj_r + tr_Q[None, :, None] * dr)
-                      * K3[:, :, None])
+            f_quad = 3.0 * (5.0 * rQj_r[:, :, None] * dr * K4[:, :, None]
+                            - (2.0 * Qj_r + tr_Q[None, :, None] * dr)
+                            * K3[:, :, None])
             return f_q + f_d + f_quad
 
         def bn_kernels(r, r2s, mask, within):
@@ -885,7 +962,7 @@ class AmoebaMultipoleForce(Force):
             e_self = (-ONE_4PI_EPS0 * alpha / SQRT_PI) * (
                 jnp.sum(charge * charge)
                 + (2.0 / 3.0) * a2 * jnp.sum(d_lab * d_lab)
-                + (8.0 / 45.0) * a2 * a2 * jnp.sum(q_lab * q_lab))
+                + (8.0 / 5.0) * a2 * a2 * jnp.sum(q_lab * q_lab))
             e_perm = e_real + e_recip_perm.astype(accum) \
                 + e_self.astype(accum)
             geom_cache = (pos, box, charge, q_lab, dr, r, r2s, mask, within,
@@ -1118,6 +1195,95 @@ class AmoebaTorsionTorsionForce(Force):
                              params=params, energy_fn=energy_fn,
                              uses_pbc=periodic,
                              bonded_particles=tuple(self._bonded_particles()))
+
+
+class AmoebaGeneralizedKirkwoodForce(Force):
+    """Generalized Kirkwood implicit solvent for AMOEBA
+    (plugins/amoeba/openmmapi/include/openmm/AmoebaGeneralizedKirkwoodForce.h).
+
+    Like the reference, this force evaluates inside the multipole force:
+    AmoebaMultipoleForce._compile detects it on the System and folds the
+    Grycuk Born radii, the GK reaction-field SCF coupling, the GK pair
+    energies, and the cavity term into its own energy function (the
+    reference's AmoebaReferenceGeneralizedKirkwoodMultipoleForce). Its own
+    _compile therefore contributes no modules."""
+
+    def __init__(self):
+        super().__init__()
+        self._particles = []   # (charge, radius, scalingFactor)
+        self._solvent_dielectric = 78.3
+        self._solute_dielectric = 1.0
+        self._include_cavity = True
+        # reference API ctor defaults (AmoebaGeneralizedKirkwoodForce.cpp:39)
+        self._probe_radius = 0.14
+        self._surface_area_factor = -6.0 * 3.1415926535 * 0.0216 \
+            * 1000.0 * 0.4184
+
+    def getNumParticles(self):
+        return len(self._particles)
+
+    def addParticle(self, charge, radius, scalingFactor):
+        self._particles.append((float(u.strip(charge, u.elementary_charge)),
+                                float(u.strip(radius, u.nanometer)),
+                                float(scalingFactor)))
+        return len(self._particles) - 1
+
+    def getParticleParameters(self, index):
+        c, r, s = self._particles[index]
+        return (u.Quantity(c, u.elementary_charge),
+                u.Quantity(r, u.nanometer), s)
+
+    def setParticleParameters(self, index, charge, radius, scalingFactor):
+        self._particles[index] = (
+            float(u.strip(charge, u.elementary_charge)),
+            float(u.strip(radius, u.nanometer)), float(scalingFactor))
+
+    def getSolventDielectric(self):
+        return self._solvent_dielectric
+
+    def setSolventDielectric(self, dielectric):
+        self._solvent_dielectric = float(dielectric)
+
+    def getSoluteDielectric(self):
+        return self._solute_dielectric
+
+    def setSoluteDielectric(self, dielectric):
+        self._solute_dielectric = float(dielectric)
+
+    def getIncludeCavityTerm(self):
+        return int(self._include_cavity)
+
+    def setIncludeCavityTerm(self, include):
+        self._include_cavity = bool(include)
+
+    def getProbeRadius(self):
+        return u.Quantity(self._probe_radius, u.nanometer)
+
+    def setProbeRadius(self, radius):
+        self._probe_radius = float(u.strip(radius, u.nanometer))
+
+    def getSurfaceAreaFactor(self):
+        return self._surface_area_factor
+
+    def setSurfaceAreaFactor(self, factor):
+        self._surface_area_factor = float(factor)
+
+    def updateParametersInContext(self, context):
+        # parameters are folded into the multipole force's compiled module
+        for f in context.getSystem().getForces():
+            if isinstance(f, AmoebaMultipoleForce):
+                context._update_force_parameters(f)
+
+    def usesPeriodicBoundaryConditions(self):
+        return False
+
+    def _compile(self, system, cfg):
+        for f in system.getForces():
+            if isinstance(f, AmoebaMultipoleForce):
+                return []
+        raise OpenMMException(
+            "AmoebaGeneralizedKirkwoodForce requires an "
+            "AmoebaMultipoleForce in the System")
 
 
 class AmoebaWcaDispersionForce(Force):

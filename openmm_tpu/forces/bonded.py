@@ -29,9 +29,9 @@ def _make_windowed_ef(eng, term_energy, fallback_energy, accum):
     differentiated region), accumulation via the banded bwd matmul; the few
     out-of-band terms run through the ordinary gather/scatter lane."""
     def ef_fn(pos, box, p, gp):
-        slots = eng.fwd(pos)
+        slots = eng.fwd(pos, p["sel_F"])
         e, g = jax.value_and_grad(lambda s: term_energy(s, p))(slots)
-        f = -eng.bwd(g, pos.shape[0])
+        f = -eng.bwd(g, pos.shape[0], p["sel_M"])
         if fallback_energy is not None:
             e2, g2 = jax.value_and_grad(
                 lambda q: fallback_energy(q, box, p, gp))(pos)
@@ -106,6 +106,7 @@ class HarmonicBondForce(Force, _PeriodicMixin):
             for key in ("r0", "k"):
                 params["w_" + key] = eng.layout(params[key])
                 params["fb_" + key] = params[key][eng.fallback_ids]
+            params.update(eng.tensors())
         return {k: jnp.asarray(v) for k, v in params.items()}
 
     def _compile(self, system, cfg):
@@ -198,6 +199,7 @@ class HarmonicAngleForce(Force, _PeriodicMixin):
             for key in ("theta0", "k"):
                 params["w_" + key] = eng.layout(params[key])
                 params["fb_" + key] = params[key][eng.fallback_ids]
+            params.update(eng.tensors())
         return {k: jnp.asarray(v) for k, v in params.items()}
 
     def _compile(self, system, cfg):
@@ -314,6 +316,7 @@ class PeriodicTorsionForce(Force, _PeriodicMixin):
             for key in ("n", "phase", "k"):
                 params["w_" + key] = eng.layout(params[key])
                 params["fb_" + key] = params[key][eng.fallback_ids]
+            params.update(eng.tensors())
         return {k: jnp.asarray(v) for k, v in params.items()}
 
     def _compile(self, system, cfg):

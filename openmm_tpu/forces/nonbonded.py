@@ -396,6 +396,7 @@ class NonbondedForce(Force):
                         "exc_qq"):
                 p["w_" + key] = eng.layout(p[key])
                 p["fb_" + key] = p[key][eng.fallback_ids]
+            p.update(eng.tensors())
         return {k: jnp.asarray(v) for k, v in p.items()}
 
     def _dispersion_coefficient(self):
@@ -1000,11 +1001,11 @@ class NonbondedForce(Force):
                 if exc_eng is not None:
                     # banded exception + exclusion-correction lane (analytic
                     # forces; the differentiated region has no gathers)
-                    slots = exc_eng.fwd(pos)
+                    slots = exc_eng.fwd(pos, p["sel_F"])
                     e_x, g_x = jax.value_and_grad(
                         lambda s: exc_term_energy(s, p))(slots)
                     e_d = e_d + e_x.astype(accum)
-                    f = f - exc_eng.bwd(g_x, pos.shape[0])
+                    f = f - exc_eng.bwd(g_x, pos.shape[0], p["sel_M"])
                     e_fb, g_fb = jax.value_and_grad(
                         lambda q: exc_fallback_energy(q, box, p, gp))(pos)
                     e_d = e_d + e_fb.astype(accum)

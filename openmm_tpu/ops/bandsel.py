@@ -97,10 +97,22 @@ class WindowedTerms:
                 src = b - (tb - halo)           # window offset inside M
                 M[tb, a - tb * block, src * Wb * k + j * k + r] = 1.0
         self.live = jnp.asarray(live)
-        # bf16 keeps the 0/1 selections exact at half the memory traffic
-        self._F = jnp.asarray(F.astype(jnp.bfloat16))
-        self._M = jnp.asarray(M.astype(jnp.bfloat16))
+        # f32 selections: a bf16 selection operand would make the TPU MXU
+        # truncate the f32 POSITION side of the product to bf16 (~1e-2 nm
+        # coordinate noise -> garbage bonded forces). The matmuls also pin
+        # HIGHEST precision for the same reason.
+        # NOTE: these tensors are tens of MB — callers must pass them through
+        # the params pytree (jit arguments) via tensors(), NOT close over
+        # them (embedded jaxpr constants blow remote-compile payload limits)
+        self._F = jnp.asarray(F.astype(np.float32))
+        self._M = jnp.asarray(M.astype(np.float32))
         self.dtype = dtype
+
+    def tensors(self):
+        """The large static selection tensors, to ride the params pytree."""
+        if self.B == 0:
+            return {}
+        return {"sel_F": self._F, "sel_M": self._M}
 
     # ------------------------------------------------------------- helpers
     def layout(self, arr):
@@ -119,8 +131,11 @@ class WindowedTerms:
             k += cnt
         return out
 
-    def fwd(self, pos):
-        """pos (n, 3) -> slot positions (B, Wb, k, 3)."""
+    def fwd(self, pos, F=None):
+        """pos (n, 3) -> slot positions (B, Wb, k, 3). Pass F from
+        tensors() through params to keep it out of the traced constants."""
+        if F is None:
+            F = self._F
         block, halo, B = self.block, self.halo, self.B
         need = self.lo + (B + halo) * block
         padn = need - pos.shape[0]
@@ -132,13 +147,16 @@ class WindowedTerms:
         wins = jnp.concatenate(
             [segs[i:i + B] for i in range(halo + 1)], axis=1)  # (B, Wa, 3)
         slots = jax.lax.dot_general(
-            self._F, wins.astype(jnp.float32),
-            ((( 2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (B, Wbk, 3)
+            F, wins.astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (B, Wbk, 3)
         return slots.reshape(B, self.Wb, self.k, 3)
 
-    def bwd(self, grads, n):
+    def bwd(self, grads, n, M=None):
         """grads (B, Wb, k, 3) d(energy)/d(slot pos) -> (n, 3) forces=-grad."""
+        if M is None:
+            M = self._M
         block, halo, B, Wb, k = self.block, self.halo, self.B, self.Wb, self.k
         g = grads.reshape(B, Wb * k, 3)
         gp = jnp.concatenate(
@@ -146,9 +164,10 @@ class WindowedTerms:
         swins = jnp.concatenate(
             [gp[i:i + B] for i in range(halo + 1)], axis=1)  # (B,(h+1)Wbk,3)
         f = jax.lax.dot_general(
-            self._M, swins.astype(jnp.float32),
+            M, swins.astype(jnp.float32),
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (B, block, 3)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # (B, block, 3)
         f = f.reshape(B * block, 3)
         out = jnp.zeros((n, 3), f.dtype)
         hi = min(self.lo + B * block, n)
