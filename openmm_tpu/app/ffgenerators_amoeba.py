@@ -1165,3 +1165,73 @@ class AmoebaWcaDispersionGenerator(object):
 
 PARSERS["AmoebaWcaDispersionForce"] = \
     AmoebaWcaDispersionGenerator.parseElement
+
+
+# ---------------------------------------------- generalized Kirkwood (GK)
+_BONDI_RADII = {0: 0.0, 1: 0.12, 2: 0.14, 5: 0.18, 6: 0.170, 7: 0.155,
+                8: 0.152, 9: 0.147, 10: 0.154, 14: 0.210, 15: 0.180,
+                16: 0.180, 17: 0.175, 18: 0.188, 34: 0.190, 35: 0.185,
+                36: 0.202, 53: 0.198, 54: 0.216}
+_BONDI_SCALE = 1.03
+
+
+class AmoebaGeneralizedKirkwoodGenerator(object):
+    """<AmoebaGeneralizedKirkwoodForce> -> AmoebaGeneralizedKirkwoodForce
+    (reference forcefield.py:5359-5617: Bondi radii scaled by 1.03, overlap
+    scale factor 0.69, charges taken from the multipole force)."""
+
+    def __init__(self, ff, attrs):
+        self.ff = ff
+        self.attrs = attrs
+
+    @staticmethod
+    def parseElement(element, ff):
+        gen = AmoebaGeneralizedKirkwoodGenerator(
+            ff, {k: float(element.attrib[k])
+                 for k in ("solventDielectric", "soluteDielectric",
+                           "includeCavityTerm", "probeRadius",
+                           "surfaceAreaFactor")})
+        ff.registerGenerator(gen)
+
+    def createForce(self, sys, data, nonbondedMethod, nonbondedCutoff,
+                    args):
+        from . import forcefield as ffmod
+        if nonbondedMethod != ffmod.NoCutoff:
+            raise ValueError(
+                "Only the nonbondedMethod=NoCutoff option is available "
+                "for implicit solvent simulations.")
+        multipoles = [f for f in sys.getForces()
+                      if type(f) is mmforces.AmoebaMultipoleForce]
+        if not multipoles:
+            raise ValueError(
+                "AmoebaGeneralizedKirkwoodForce requires the "
+                "AmoebaMultipoleForce section")
+        mp = multipoles[0]
+        existing = [f for f in sys.getForces()
+                    if type(f) is mmforces.AmoebaGeneralizedKirkwoodForce]
+        force = existing[0] if existing \
+            else mmforces.AmoebaGeneralizedKirkwoodForce()
+        if not existing:
+            sys.addForce(force)
+            force.setSolventDielectric(float(
+                args.get("solventDielectric",
+                         self.attrs["solventDielectric"])))
+            force.setSoluteDielectric(float(
+                args.get("soluteDielectric",
+                         self.attrs["soluteDielectric"])))
+            force.setIncludeCavityTerm(int(
+                args.get("includeCavityTerm",
+                         self.attrs["includeCavityTerm"])))
+        force.setProbeRadius(self.attrs["probeRadius"])
+        force.setSurfaceAreaFactor(self.attrs["surfaceAreaFactor"])
+        for i, atom in enumerate(data.atoms):
+            num = atom.element.atomic_number if atom.element else 0
+            if num not in _BONDI_RADII:
+                raise ValueError("no Bondi radius for atom %s" % atom)
+            charge = mp.getMultipoleParameters(i)[0]
+            force.addParticle(charge, _BONDI_RADII[num] * _BONDI_SCALE,
+                              0.69)
+
+
+PARSERS["AmoebaGeneralizedKirkwoodForce"] = \
+    AmoebaGeneralizedKirkwoodGenerator.parseElement

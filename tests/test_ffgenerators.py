@@ -277,3 +277,32 @@ def test_drude_charmm_polar_parses():
 def test_swm4ndp_loads():
     ff = app.ForceField("swm4ndp.json")
     assert len(ff._atomTypes) == 4
+
+
+def test_amoeba_gk_generator():
+    """amoeba2013_gk.json wires AmoebaGeneralizedKirkwoodForce into the
+    System (Bondi radii x1.03, shct 0.69, charges from the multipole force;
+    reference forcefield.py:5359-5617), and the GK energy evaluates."""
+    from openmm_tpu.forces.amoeba import AmoebaGeneralizedKirkwoodForce
+    ff = app.ForceField("amoeba2013.json", "amoeba2013_gk.json")
+    top = _amoeba_water_topology()
+    top.setPeriodicBoxVectors(None)
+    system = ff.createSystem(top, nonbondedMethod=app.forcefield.NoCutoff,
+                             polarization="direct")
+    gks = [f for f in system.getForces()
+           if isinstance(f, AmoebaGeneralizedKirkwoodForce)]
+    assert len(gks) == 1
+    gk = gks[0]
+    assert gk.getNumParticles() == system.getNumParticles()
+    c, r, s = gk.getParticleParameters(0)
+    assert abs(r._value - 0.152 * 1.03) < 1e-6   # oxygen Bondi radius
+    assert s == 0.69
+    import numpy as np
+    ctx = mm.Context(system, mm.VerletIntegrator(0.001),
+                     mm.Platform.getPlatformByName("Reference"))
+    pos = np.asarray(AMOEBA_WATER_POS, np.float64)
+    ctx.setPositions(pos)
+    e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
+    assert np.isfinite(e)
+    # solvation should be attractive for a polar cluster
+    assert e < 0.0 or abs(e) < 1e3
