@@ -1,10 +1,13 @@
 """AMOEBA plugin forces (scoped port of plugins/amoeba/openmmapi):
-AmoebaVdwForce (buffered 14-7) and AmoebaMultipoleForce (point multipoles +
-induced-dipole polarization, direct/mutual/extrapolated).
+AmoebaVdwForce (buffered 14-7), AmoebaMultipoleForce (point multipoles +
+induced-dipole polarization, direct/mutual/extrapolated; NoCutoff dense
+sweep and full multipole PME), AmoebaGeneralizedKirkwoodForce (implicit
+solvent, evaluated inside the multipole force via ops/gk.py),
+AmoebaTorsionTorsionForce, and AmoebaWcaDispersionForce.
 
-This round implements the NoCutoff/cutoff direct-space paths (dense sweeps);
-multipole PME lands with the next round. The induced-dipole SCF is a jitted
-fixed-point iteration (the TPU translation of the reference's DIIS loop,
+Energies are validated against reference-platform golden values (ammonia
+GK dimer, 12-water PME box). The induced-dipole SCF is a jitted fixed-point
+iteration (the TPU translation of the reference's DIIS loop,
 AmoebaCommonKernels.cpp:317-321); all forces come from jax.grad through the
 converged dipoles (implicit differentiation via unrolled iterations).
 """

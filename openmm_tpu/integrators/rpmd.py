@@ -10,7 +10,12 @@ internal modes).
 TPU design: the n copies are a leading array axis; forces are computed for
 all copies with jax.vmap over the fused force function (the 'many-replica'
 workload that maps directly onto batching, SURVEY §2.10 P6). Ring-polymer
-contraction lands later.
+contraction (RPMDIntegrator.h:69-92) evaluates selected force groups on a
+smaller number of beads: positions are normal-mode truncated to M copies
+(kernels/rpmdContraction.cc contractPositions, POS_SCALE = 1/K), the
+group's forces run on the contracted configurations, and the transposed
+truncation expands them back onto all K beads (contractForces,
+FORCE_SCALE = 1/M).
 """
 from __future__ import annotations
 
@@ -78,6 +83,9 @@ class RPMDIntegrator(Integrator):
         aux = ctx._state["aux"]
         aux["rp_pos"] = aux["rp_pos"].at[copy].set(
             jnp.asarray(pos.astype(ctx._dtype)))
+        # per-copy positions are now authoritative (hasSetPosition
+        # semantics): the first step must not re-broadcast them
+        aux["rp_init"] = jnp.ones((), jnp.int32)
         if copy == 0:
             ctx.setPositions(positions)
         else:
@@ -90,6 +98,7 @@ class RPMDIntegrator(Integrator):
         aux = ctx._state["aux"]
         aux["rp_vel"] = aux["rp_vel"].at[copy].set(
             jnp.asarray(vel.astype(ctx._dtype)))
+        aux["rp_init_v"] = jnp.ones((), jnp.int32)
         if copy == 0:
             ctx.setVelocities(velocities)
 
@@ -144,10 +153,57 @@ class RPMDIntegrator(Integrator):
         n = deps.n_particles
         return {"rp_pos": jnp.zeros((k, n, 3), deps.dtype),
                 "rp_vel": jnp.zeros((k, n, 3), deps.dtype),
-                "rp_init": jnp.zeros((), jnp.int32)}
+                "rp_init": jnp.zeros((), jnp.int32),
+                "rp_init_v": jnp.zeros((), jnp.int32)}
 
     def _make_step_fn(self, deps):
         k = self._n_copies
+        contractions = {int(g): int(m)
+                        for g, m in self._contractions.items()}
+        for g, m in contractions.items():
+            if m > k:
+                raise OpenMMException(
+                    "RPMDIntegrator: Number of copies for contraction "
+                    "cannot be greater than the total number of copies")
+        if contractions:
+            factory = deps._force_fn_factory
+            all_mask = self._force_groups & 0xffffffff
+            cont_bits = 0
+            for g in contractions:
+                cont_bits |= (1 << g)
+            _, force_fn_base = factory(all_mask & ~cont_bits,
+                                       want_energy=False)
+            contracted_fns = []
+            for g, m in sorted(contractions.items()):
+                _, ef_g = factory(1 << g, want_energy=False)
+                contracted_fns.append((g, m, ef_g))
+        else:
+            force_fn_base = deps.force_fn
+            contracted_fns = []
+
+        def _contract(pos_all, m):
+            # contractPositions: truncate the K-bead spectrum to M modes
+            # (split at (M+1)/2) and transform back at size M; numpy-norm
+            # FFTs make the kernel's 1/K scale come out as M/K
+            spec = jnp.fft.fft(pos_all, axis=0)
+            start = (m + 1) // 2
+            keep = jnp.concatenate([spec[:start], spec[k - (m - start):]],
+                                   axis=0)
+            return (jnp.fft.ifft(keep, axis=0).real
+                    * (m / k)).astype(pos_all.dtype)
+
+        def _expand(f_c, k_out):
+            # contractForces: pad the M-bead force spectrum back to K modes
+            # (transpose of the truncation); FORCE_SCALE = 1/M -> K/M here
+            m = f_c.shape[0]
+            spec = jnp.fft.fft(f_c, axis=0)
+            start = (m + 1) // 2
+            zeros = jnp.zeros((k_out - m,) + spec.shape[1:], spec.dtype)
+            padded = jnp.concatenate(
+                [spec[:start], zeros, spec[start:]], axis=0)
+            return (jnp.fft.ifft(padded, axis=0).real
+                    * (k_out / m)).astype(f_c.dtype)
+
         inv_m = deps.inv_masses[:, None]
         moving = (deps.inv_masses != 0)[:, None]
         sqrt_inv_m = jnp.sqrt(deps.inv_masses)[:, None]
@@ -210,7 +266,7 @@ class RPMDIntegrator(Integrator):
                                 aux["rp_pos"],
                                 jnp.broadcast_to(state["positions"],
                                                  aux["rp_pos"].shape))
-            vel_all = jnp.where(aux["rp_init"] > 0,
+            vel_all = jnp.where(aux["rp_init_v"] > 0,
                                 aux["rp_vel"],
                                 jnp.broadcast_to(state["velocities"],
                                                  aux["rp_vel"].shape))
@@ -218,7 +274,8 @@ class RPMDIntegrator(Integrator):
             if deps.update_hooks:
                 state = dict(state)
                 state["aux"] = dict(aux, rp_pos=pos_all, rp_vel=vel_all,
-                                    rp_init=jnp.ones((), jnp.int32))
+                                    rp_init=jnp.ones((), jnp.int32),
+                                    rp_init_v=jnp.ones((), jnp.int32))
                 for hook, pidx in deps.update_hooks:
                     state = hook(state, params_list)
                 aux = state["aux"]
@@ -238,14 +295,28 @@ class RPMDIntegrator(Integrator):
                 # faux deliberately omitted: replicas have distinct
                 # coordinates, so a shared persistent neighbor list would be
                 # wrong — each bead rebuilds inline (vmapped)
-                _, f = deps.force_fn(pos, state["box"], params_list,
+                _, f = force_fn_base(pos, state["box"], params_list,
                                      state["gp"])
                 return f
 
-            forces = jax.vmap(copy_forces)(pos_all)
+            def all_forces(pos_all):
+                forces = jax.vmap(copy_forces)(pos_all)
+                for (grp, m, ef_g) in contracted_fns:
+                    pos_c = _contract(pos_all, m)
+
+                    def fg(pos, ef_g=ef_g):
+                        _, f = ef_g(pos, state["box"], params_list,
+                                    state["gp"])
+                        return f
+
+                    f_c = jax.vmap(fg)(pos_c)
+                    forces = forces + _expand(f_c, k)
+                return forces
+
+            forces = all_forces(pos_all)
             vel_all = vel_all + 0.5 * dt * forces * inv_m[None]
             pos_all, vel_all = free_evolve(pos_all, vel_all, kT, dt)
-            forces = jax.vmap(copy_forces)(pos_all)
+            forces = all_forces(pos_all)
             vel_all = vel_all + 0.5 * dt * forces * inv_m[None]
             if apply_thermostat:
                 vel_all, key = pile_half(vel_all, kT, dt, gamma, key)
@@ -253,7 +324,8 @@ class RPMDIntegrator(Integrator):
 
             state = dict(state)
             state["aux"] = dict(aux, rp_pos=pos_all, rp_vel=vel_all,
-                                rp_init=jnp.ones((), jnp.int32))
+                                rp_init=jnp.ones((), jnp.int32),
+                                rp_init_v=jnp.ones((), jnp.int32))
             state["positions"] = pos_all[0]
             state["velocities"] = vel_all[0]
             state["key"] = key

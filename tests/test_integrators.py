@@ -181,3 +181,53 @@ def test_integration_force_groups():
     integ.step(10)
     v = ctx.getState(getVelocities=True).getVelocities(asNumpy=True)._value
     assert np.max(np.abs(v)) < 1e-12
+
+
+def test_nose_hoover_subsystem_pair_thermostat():
+    """addSubsystemThermostat dual-temperature semantics
+    (NoseHooverIntegrator.h:116): each pair's center-of-mass motion
+    thermostats at `temperature`, its relative motion independently at
+    `relativeTemperature`."""
+    import numpy as np
+    from openmm_tpu.constants import BOLTZ
+
+    n_pairs = 24
+    system = mm.System()
+    bond = mm.HarmonicBondForce()
+    positions = []
+    pairs = []
+    for i in range(n_pairs):
+        a = system.addParticle(16.0)
+        b = system.addParticle(1.0)
+        bond.addBond(a, b, 0.1, 20000.0)
+        base = mm.Vec3(0.5 * (i % 5), 0.5 * ((i // 5) % 5), 0.5 * (i // 25))
+        positions += [base, mm.Vec3(base.x + 0.1, base.y, base.z)]
+        pairs.append((a, b))
+    system.addForce(bond)
+
+    integ = mm.NoseHooverIntegrator(0.0005, None)
+    integ.addSubsystemThermostat([], pairs, 300.0, 100.0, 100.0, 100.0,
+                                 chainLength=3, numMTS=3, numYoshidaSuzuki=7)
+    ctx = mm.Context(system, integ,
+                     mm.Platform.getPlatformByName("Reference"))
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(200.0, randomSeed=5)
+    integ.step(500)
+    ke_com = []
+    ke_rel = []
+    for _ in range(60):
+        integ.step(25)
+        v = np.asarray(ctx.getState(getVelocities=True)
+                       .getVelocities(asNumpy=True)._value)
+        m1, m2 = 16.0, 1.0
+        v1 = v[0::2]
+        v2 = v[1::2]
+        vc = (m1 * v1 + m2 * v2) / (m1 + m2)
+        vr = v1 - v2
+        mu = m1 * m2 / (m1 + m2)
+        ke_com.append(0.5 * (m1 + m2) * np.sum(vc * vc))
+        ke_rel.append(0.5 * mu * np.sum(vr * vr))
+    t_com = 2.0 * np.mean(ke_com) / (3 * n_pairs * BOLTZ)
+    t_rel = 2.0 * np.mean(ke_rel) / (3 * n_pairs * BOLTZ)
+    assert abs(t_com - 300.0) < 60.0, t_com
+    assert abs(t_rel - 100.0) < 25.0, t_rel

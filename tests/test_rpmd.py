@@ -89,3 +89,60 @@ def test_rpmd_barostat_runs():
     pos = ctx.getState(getPositions=True).getPositions(asNumpy=True)._value
     assert np.all(np.isfinite(pos))
     assert abs(box1[0, 0] - box0[0, 0]) > 1e-6  # some move was accepted
+
+
+def test_contraction_identity_and_centroid():
+    """Contraction semantics (RPMDIntegrator.h:69-92): contracting a force
+    group to M=K beads reproduces the uncontracted trajectory exactly, and
+    M=1 evaluates that group's force at the centroid (normal-mode
+    truncation, kernels/rpmdContraction.cc)."""
+    import numpy as np
+
+    def build(contractions):
+        # quartic potential: nonlinear forces, so centroid-contracted (M=1)
+        # dynamics genuinely differ while M=K stays exact
+        system = mm.System()
+        f = mm.CustomExternalForce("25*(x^4+y^4+z^4) + 50*(x*x+y*y+z*z)")
+        positions = []
+        for i in range(4):
+            system.addParticle(2.0)
+            f.addParticle(i, [])
+            positions.append(mm.Vec3(0.05 * (i + 1), 0.02, -0.03))
+        system.addForce(f)
+        system.getForces()[0].setForceGroup(0)
+        integ = mm.RPMDIntegrator(4, 300.0, 1.0, 0.0005,
+                                  contractions=contractions)
+        integ.setApplyThermostat(False)
+        integ.setRandomNumberSeed(7)
+        ctx = mm.Context(system, integ, reference_platform())
+        ctx.setPositions(positions)
+        ctx.setVelocitiesToTemperature(100.0, randomSeed=3)
+        vel = ctx.getState(getVelocities=True).getVelocities(asNumpy=True)
+        rng = np.random.RandomState(11)
+        base = np.asarray([[v.x, v.y, v.z] if hasattr(v, 'x') else v
+                           for v in np.asarray(vel._value)])
+        for c in range(4):
+            # identical bead SPREAD for every build: contraction must act on
+            # a genuinely extended ring polymer
+            jitter = rng.normal(scale=0.004, size=(4, 3))
+            integ.setPositions(c, np.asarray(positions) + jitter)
+            integ.setVelocities(c, base)
+        return ctx, integ
+
+    ctx0, i0 = build(None)
+    ctx1, i1 = build({0: 4})
+    ctx2, i2 = build({0: 1})
+    i0.step(5)
+    i1.step(5)
+    i2.step(5)
+    p0 = np.asarray(i0.getState(1, getPositions=True)
+                    .getPositions(asNumpy=True)._value)
+    p1 = np.asarray(i1.getState(1, getPositions=True)
+                    .getPositions(asNumpy=True)._value)
+    p2 = np.asarray(i2.getState(1, getPositions=True)
+                    .getPositions(asNumpy=True)._value)
+    # M = K: identical dynamics
+    assert np.abs(p0 - p1).max() < 5e-6, np.abs(p0 - p1).max()
+    # M = 1: different (centroid-force) dynamics but finite and close
+    assert np.isfinite(p2).all()
+    assert np.abs(p0 - p2).max() > 0.0
