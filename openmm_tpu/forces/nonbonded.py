@@ -949,7 +949,7 @@ class NonbondedForce(Force):
                          else 0.0),
                     crf=(crf if (use_cutoff and not is_ewald_family)
                          else 0.0), block=nl_block,
-                    want_energy=want_energy)
+                    want_energy=want_energy, mesh=cfg.mesh)
                 return e_d.astype(accum), f_pad[:n]
             charge, sigma, eps = effective_particle_params(p, gp)
             e_d, f_pad = pairs_mod.rows_ef_from_state(

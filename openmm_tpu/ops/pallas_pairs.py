@@ -303,12 +303,19 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 
 def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
-               crf=0.0, block=64, want_energy=True, interpret=False):
+               crf=0.0, block=64, want_energy=True, interpret=False,
+               mesh=None):
     """Direct-space (energy, forces) from the persistent tile state.
 
     Per step: permute positions into the persisted sorted frame (one
     n-sized gather — cheap), subtract the stored wrap offsets, refresh the
     coordinate planes, sweep the candidate tiles.
+
+    With a mesh, ROW BLOCKS are sharded over the mesh axis via shard_map
+    (the reference's setAtomBlockRange partition,
+    CudaParallelKernels.cpp:66-248): every device runs the SAME tile kernel
+    on its row-block shard with replicated column data; force rows are
+    partitioned (no reduction needed) and the energy is psum'd.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -379,38 +386,76 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
         np.exp2(-(np.arange(block) % 16)).astype(np.float32)), (8, block))
 
     cw = COLS_PER_TILE * block
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 16),
-                             lambda r, c, cnt, ecnt, icnt: (r * 0, r * 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((8, block),
-                             lambda r, c, cnt, ecnt, icnt: (r * 0, r * 0)),
-                pl.BlockSpec((1, 6, block),
-                             lambda r, c, cnt, ecnt, icnt: (r, r * 0, r * 0)),
-                pl.BlockSpec((1, 3, cw),
-                             lambda r, c, cnt, ecnt, icnt: (r, r * 0, c)),
-                pl.BlockSpec((1, 3, cw),
-                             lambda r, c, cnt, ecnt, icnt: (r, r * 0, c)),
-                # bits exist only for the exclusion window; chunks past it
-                # never unpack masks, so clamp the index (re-fetch of an
-                # unchanged block is elided by the pipeline)
-                pl.BlockSpec((1, COLS_PER_TILE, 4, block),
-                             lambda r, c, cnt, ecnt, icnt, _m=exc_chunks - 1:
-                                 (r, jnp.minimum(c, _m), r * 0, r * 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 4, block),
-                lambda r, c, cnt, ecnt, icnt: (r, r * 0, r * 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((nb, 4, block), f32),
-        interpret=interpret,
-    )(st["count"], st["excl_count"], st["img_count"], consts, lanebit, feat,
-      pslab, sslab, excl_bits)
+
+    def sweep(count, excl_count, img_count, feat_rows, pslab_s, sslab_s,
+              bits_s):
+        nb_loc = feat_rows.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nb_loc, grid[1]),
+                in_specs=[
+                    pl.BlockSpec((1, 16),
+                                 lambda r, c, cnt, ecnt, icnt:
+                                     (r * 0, r * 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((8, block),
+                                 lambda r, c, cnt, ecnt, icnt:
+                                     (r * 0, r * 0)),
+                    pl.BlockSpec((1, 6, block),
+                                 lambda r, c, cnt, ecnt, icnt:
+                                     (r, r * 0, r * 0)),
+                    pl.BlockSpec((1, 3, cw),
+                                 lambda r, c, cnt, ecnt, icnt:
+                                     (r, r * 0, c)),
+                    pl.BlockSpec((1, 3, cw),
+                                 lambda r, c, cnt, ecnt, icnt:
+                                     (r, r * 0, c)),
+                    # bits exist only for the exclusion window; chunks past
+                    # it never unpack masks, so clamp the index (re-fetch of
+                    # an unchanged block is elided by the pipeline)
+                    pl.BlockSpec((1, COLS_PER_TILE, 4, block),
+                                 lambda r, c, cnt, ecnt, icnt,
+                                 _m=exc_chunks - 1:
+                                     (r, jnp.minimum(c, _m), r * 0, r * 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 4, block),
+                    lambda r, c, cnt, ecnt, icnt: (r, r * 0, r * 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb_loc, 4, block), f32),
+            interpret=interpret,
+        )(count, excl_count, img_count, consts, lanebit, feat_rows,
+          pslab_s, sslab_s, bits_s)
+
+    feat_rows = feat[:nb]
+    if mesh is None:
+        out = sweep(st["count"], st["excl_count"], st["img_count"],
+                    feat_rows, pslab, sslab, excl_bits)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import AXIS
+        n_dev = mesh.devices.size
+        padb = (-nb) % n_dev
+
+        def padrows(x, value=0):
+            if padb == 0:
+                return x
+            pad_shape = (padb,) + x.shape[1:]
+            return jnp.concatenate(
+                [x, jnp.full(pad_shape, value, x.dtype)])
+
+        out = shard_map(
+            sweep, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS)),
+            out_specs=P(AXIS),
+            check_rep=False,
+        )(padrows(st["count"]), padrows(st["excl_count"]),
+          padrows(st["img_count"]), padrows(feat_rows), padrows(pslab),
+          padrows(sslab), padrows(excl_bits))[:nb]
 
     f_sorted = out[:, 0:3, :].transpose(0, 2, 1).reshape(n_pad, 3)
     forces = jnp.take(f_sorted, inv_order, axis=0).astype(pos.dtype)
@@ -421,13 +466,14 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
 def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
                      cutoff, max_cols, mode, alpha=0.0, krf=0.0, crf=0.0,
                      block=64, sort_cell=None, col_cap=None,
-                     interpret=False, use_shift=False):
+                     interpret=False, use_shift=False, mesh=None):
     """One-shot build + sweep (energy, forces, overflow)."""
     st = build_tile_state(pos, box, charge, sigma, epsilon, exclusions,
                           n_real, cutoff, max_cols, block=block,
                           sort_cell=sort_cell, use_shift=use_shift)
     e, f = eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=alpha,
-                      krf=krf, crf=crf, block=block, interpret=interpret)
+                      krf=krf, crf=crf, block=block, interpret=interpret,
+                      mesh=mesh)
     return e, f, st["overflow"]
 
 
