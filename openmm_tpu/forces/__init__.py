@@ -28,6 +28,7 @@ from .drude import DrudeForce
 from .amoeba import (AmoebaVdwForce, AmoebaMultipoleForce,
                      AmoebaTorsionTorsionForce, AmoebaWcaDispersionForce,
                      AmoebaGeneralizedKirkwoodForce)
+from .hippo import HippoNonbondedForce
 from ..tabulated import (TabulatedFunction, Continuous1DFunction,
                          Continuous2DFunction, Continuous3DFunction,
                          Discrete1DFunction, Discrete2DFunction,
@@ -45,7 +46,7 @@ __all__ = [
     "CustomCVForce", "GBSAOBCForce", "RMSDForce", "GayBerneForce",
     "CustomManyParticleForce", "DrudeForce", "AmoebaVdwForce",
     "AmoebaMultipoleForce", "AmoebaTorsionTorsionForce", "AmoebaWcaDispersionForce",
-    "AmoebaGeneralizedKirkwoodForce",
+    "AmoebaGeneralizedKirkwoodForce", "HippoNonbondedForce",
     "TabulatedFunction", "Continuous1DFunction", "Continuous2DFunction",
     "Continuous3DFunction", "Discrete1DFunction", "Discrete2DFunction",
     "Discrete3DFunction",
