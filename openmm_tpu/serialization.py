@@ -1628,11 +1628,103 @@ def _de_rpmd_barostat(el):
     return force
 
 
+def _ser_amoeba_gk(el, force):
+    el.set("solventDielectric", _fmt(force.getSolventDielectric()))
+    el.set("soluteDielectric", _fmt(force.getSoluteDielectric()))
+    el.set("includeCavityTerm", str(force.getIncludeCavityTerm()))
+    el.set("probeRadius", _fmt(u.strip(force.getProbeRadius())))
+    el.set("surfaceAreaFactor", _fmt(force.getSurfaceAreaFactor()))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        c, r, sf = force.getParticleParameters(i)
+        ET.SubElement(particles, "Particle", charge=_fmt(u.strip(c)),
+                      radius=_fmt(u.strip(r)), scaleFactor=_fmt(sf))
+
+
+def _de_amoeba_gk(el):
+    force = F.AmoebaGeneralizedKirkwoodForce()
+    force.setSolventDielectric(float(el.get("solventDielectric", "78.3")))
+    force.setSoluteDielectric(float(el.get("soluteDielectric", "1.0")))
+    force.setIncludeCavityTerm(int(el.get("includeCavityTerm", "1")))
+    force.setProbeRadius(float(el.get("probeRadius", "0.14")))
+    force.setSurfaceAreaFactor(float(el.get("surfaceAreaFactor",
+                                            "-170.351730667")))
+    for pel in el.find("Particles"):
+        force.addParticle(float(pel.get("charge")),
+                          float(pel.get("radius")),
+                          float(pel.get("scaleFactor")))
+    return force
+
+
+def _ser_hippo(el, force):
+    el.set("method", str(force.getNonbondedMethod()))
+    el.set("cutoff", _fmt(u.strip(force.getCutoffDistance())))
+    el.set("switchingDistance",
+           _fmt(u.strip(force.getSwitchingDistance())))
+    el.set("extrapolationCoefficients", " ".join(
+        _fmt(c) for c in force.getExtrapolationCoefficients()))
+    particles = ET.SubElement(el, "Particles")
+    for i in range(force.getNumParticles()):
+        (c, d, q, core, alpha, eps, damping, c6, pk, pq, pa, pol, at, az,
+         ax, ay) = force.getParticleParameters(i)
+        ET.SubElement(
+            particles, "Particle", charge=_fmt(c),
+            dipole=" ".join(_fmt(x) for x in d),
+            quadrupole=" ".join(_fmt(x) for x in q),
+            coreCharge=_fmt(core), alpha=_fmt(alpha), epsilon=_fmt(eps),
+            damping=_fmt(damping), c6=_fmt(c6), pauliK=_fmt(pk),
+            pauliQ=_fmt(pq), pauliAlpha=_fmt(pa), polarizability=_fmt(pol),
+            axisType=str(at), atomZ=str(az), atomX=str(ax), atomY=str(ay))
+    exceptions = ET.SubElement(el, "Exceptions")
+    for i in range(force.getNumExceptions()):
+        (p1, p2, mm_, dm, dd, disp, rep, ct) = \
+            force.getExceptionParameters(i)
+        ET.SubElement(exceptions, "Exception", p1=str(p1), p2=str(p2),
+                      multipoleMultipoleScale=_fmt(mm_),
+                      dipoleMultipoleScale=_fmt(dm),
+                      dipoleDipoleScale=_fmt(dd), dispersionScale=_fmt(disp),
+                      repulsionScale=_fmt(rep), chargeTransferScale=_fmt(ct))
+
+
+def _de_hippo(el):
+    force = F.HippoNonbondedForce()
+    force.setNonbondedMethod(int(el.get("method", "0")))
+    force.setCutoffDistance(float(el.get("cutoff", "1.0")))
+    force.setSwitchingDistance(float(el.get("switchingDistance", "0.9")))
+    if el.get("extrapolationCoefficients"):
+        force.setExtrapolationCoefficients(
+            [float(x) for x in el.get("extrapolationCoefficients").split()])
+    for pel in el.find("Particles"):
+        force.addParticle(
+            float(pel.get("charge")),
+            [float(x) for x in pel.get("dipole").split()],
+            [float(x) for x in pel.get("quadrupole").split()],
+            float(pel.get("coreCharge")), float(pel.get("alpha")),
+            float(pel.get("epsilon")), float(pel.get("damping")),
+            float(pel.get("c6")), float(pel.get("pauliK")),
+            float(pel.get("pauliQ")), float(pel.get("pauliAlpha")),
+            float(pel.get("polarizability")), int(pel.get("axisType")),
+            int(pel.get("atomZ")), int(pel.get("atomX")),
+            int(pel.get("atomY")))
+    for eel in el.find("Exceptions"):
+        force.addException(
+            int(eel.get("p1")), int(eel.get("p2")),
+            float(eel.get("multipoleMultipoleScale")),
+            float(eel.get("dipoleMultipoleScale")),
+            float(eel.get("dipoleDipoleScale")),
+            float(eel.get("dispersionScale")),
+            float(eel.get("repulsionScale")),
+            float(eel.get("chargeTransferScale")))
+    return force
+
+
 _FORCE_SERIALIZERS.update({
     "AmoebaVdwForce": _ser_amoeba_vdw,
     "AmoebaMultipoleForce": _ser_amoeba_multipole,
     "AmoebaTorsionTorsionForce": _ser_amoeba_torsiontorsion,
     "AmoebaWcaDispersionForce": _ser_amoeba_wca,
+    "AmoebaGeneralizedKirkwoodForce": _ser_amoeba_gk,
+    "HippoNonbondedForce": _ser_hippo,
     "RPMDMonteCarloBarostat": _ser_rpmd_barostat,
 })
 _FORCE_DESERIALIZERS.update({
@@ -1640,5 +1732,7 @@ _FORCE_DESERIALIZERS.update({
     "AmoebaMultipoleForce": _de_amoeba_multipole,
     "AmoebaTorsionTorsionForce": _de_amoeba_torsiontorsion,
     "AmoebaWcaDispersionForce": _de_amoeba_wca,
+    "AmoebaGeneralizedKirkwoodForce": _de_amoeba_gk,
+    "HippoNonbondedForce": _de_hippo,
     "RPMDMonteCarloBarostat": _de_rpmd_barostat,
 })

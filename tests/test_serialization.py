@@ -250,3 +250,34 @@ def test_amoeba_forces_roundtrip():
     mp2 = XmlSerializer.deserialize(XmlSerializer.serialize(mp))
     assert mp2.getCovalentMap(0, mm.AmoebaMultipoleForce.Covalent12) == [1]
     assert mp2.getMultipoleParameters(0)[0] == 0.5
+
+
+def test_gk_and_hippo_roundtrip():
+    """System XML round-trip for the GK and HIPPO force proxies."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_hippo import build_water_system
+    from openmm_tpu.serialization import XmlSerializer
+
+    system, hippo = build_water_system(2)
+    s2 = XmlSerializer.deserialize(XmlSerializer.serialize(system))
+    h2 = [f for f in s2.getForces()
+          if isinstance(f, mm.HippoNonbondedForce)][0]
+    assert h2.getNumParticles() == 6
+    assert h2.getNumExceptions() == 6
+    assert h2.getParticleParameters(0)[:1] == hippo.getParticleParameters(0)[:1]
+
+    gk_sys = mm.System()
+    gk_sys.addParticle(1.0)
+    mp = mm.AmoebaMultipoleForce()
+    mp.addMultipole(-0.5, [0, 0, 0], [0.0] * 9, 5, -1, -1, -1, 0.39, 0.3,
+                    0.0)
+    gk = mm.AmoebaGeneralizedKirkwoodForce()
+    gk.addParticle(-0.5, 0.15, 0.69)
+    gk_sys.addForce(mp)
+    gk_sys.addForce(gk)
+    s3 = XmlSerializer.deserialize(XmlSerializer.serialize(gk_sys))
+    g2 = [f for f in s3.getForces()
+          if isinstance(f, mm.AmoebaGeneralizedKirkwoodForce)][0]
+    c, r, sf = g2.getParticleParameters(0)
+    assert abs(r._value - 0.15) < 1e-12 and sf == 0.69
