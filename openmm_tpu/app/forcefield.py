@@ -341,11 +341,42 @@ class ForceField(object):
         self._templateGenerators.append(generator)
 
     # ------------------------------------------------------------ parsing
+    #: reference distribution names (wrappers/python/openmm/app/data, incl.
+    #: the amber14/ and charmm36/ subdirectories) -> local converted JSONs,
+    #: so ForceField('amber14/protein.ff14SB.xml', ...) works verbatim.
+    _XML_ALIASES = {
+        "amber14/DNA.OL15.xml": "amber14-dna.json",
+        "amber14/DNA.bsc1.xml": "amber14-dna_bsc1.json",
+        "amber14/RNA.OL3.xml": "amber14-rna.json",
+        "amber14/lipid17.xml": "amber14-lipid.json",
+        "amber14/protein.ff14SB.xml": "amber14-protein.json",
+        "amber14/protein.ff15ipq.xml": "amber14-protein_ff15ipq.json",
+        "amber14/spce.xml": "amber14-spce.json",
+        "amber14/tip3p.xml": "amber14-tip3p.json",
+        "amber14/tip3pfb.xml": "amber14-tip3pfb.json",
+        "amber14/tip4pew.xml": "amber14-tip4pew.json",
+        "amber14/tip4pfb.xml": "amber14-tip4pfb.json",
+        "charmm36/spce.xml": "charmm36_spce.json",
+        "charmm36/tip3p-pme-b.xml": "charmm36_tip3p_pme_b.json",
+        "charmm36/tip3p-pme-f.xml": "charmm36_tip3p_pme_f.json",
+        "charmm36/tip4p2005.xml": "charmm36_tip4p2005.json",
+        "charmm36/tip4pew.xml": "charmm36_tip4pew.json",
+        "charmm36/tip5p.xml": "charmm36_tip5p.json",
+        "charmm36/tip5pew.xml": "charmm36_tip5pew.json",
+        "charmm36/water.xml": "charmm36_water.json",
+        "amber99_obc.xml": "amber99-obc.json",
+    }
+
     def loadFile(self, file):
         if isinstance(file, str):
             path = file
             if not os.path.exists(path):
-                candidate = os.path.join(_DATA_DIR, file)
+                alias = self._XML_ALIASES.get(file)
+                if alias is None and file.endswith(".xml"):
+                    stem = os.path.basename(file)[:-4] + ".json"
+                    if os.path.exists(os.path.join(_DATA_DIR, stem)):
+                        alias = stem
+                candidate = os.path.join(_DATA_DIR, alias or file)
                 if os.path.exists(candidate):
                     path = candidate
                 else:

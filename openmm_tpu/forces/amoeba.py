@@ -636,20 +636,6 @@ class AmoebaMultipoleForce(Force):
             if gk_cavity:
                 e = e + gk_ops.cavity_energy(gk_radii, born, gk_probe,
                                              gk_safac)
-            import os as _os
-            if _os.environ.get("OMM_GK_DEBUG"):
-                import jax as _jax
-                if not isinstance(e, _jax.core.Tracer):
-                    mu_v = induce(p, e_field, geom_cache)
-                    print("GK parts: e_gk_perm=%.6f e_gk_ind=%.6f "
-                          "e_pol_S=%.6f e_pol_vac=%.6f muS_gkF=%.6f"
-                          % (float(e_gp), float(e_gi),
-                             float(-0.5 * ONE_4PI_EPS0
-                                   * jnp.sum(mu_s * e_field)),
-                             float(-0.5 * ONE_4PI_EPS0
-                                   * jnp.sum(mu_v * e_field)),
-                             float(-0.5 * ONE_4PI_EPS0
-                                   * jnp.sum(mu_s * gk_field))))
             return e, mu_s
 
         def energy_fn(pos, box, p, gp):
