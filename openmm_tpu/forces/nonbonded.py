@@ -729,7 +729,9 @@ class NonbondedForce(Force):
             # scale matches reach = rc + 1.85*block_side (mean 67, max 98 of
             # 375 blocks), so budget that plus a 1.35x safety margin
             nl_scale = getattr(self, "_nl_scale", 1.0)
-            nl_skin = float(os.environ.get("OMM_TPU_NL_SKIN", "0.1"))
+            # default measured on DHFR-PME/v5e: 0.25 amortizes rebuilds best
+            # (12.8 -> 14.0 ns/day vs 0.1; sweep 2026-08-18 in SURVEY §10)
+            nl_skin = float(os.environ.get("OMM_TPU_NL_SKIN", "0.25"))
             reach = cutoff + 1.85 * block_side
             neigh = (nb_blocks / vol) * (4.0 / 3.0) * math.pi * reach ** 3
             margin = float(os.environ.get("OMM_TPU_NL_MARGIN", "1.6")) \
