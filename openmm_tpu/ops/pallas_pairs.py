@@ -47,6 +47,14 @@ MODE_PLAIN = 2      # plain 1/r with cutoff
 
 _TWO_OVER_SQRT_PI = 1.1283791670955126
 COLS_PER_TILE = 32
+# v5: candidate columns are tracked at 16-atom BRICK granularity (quarter
+# blocks). Brick bboxes are ~2x tighter than 64-atom block bboxes at DHFR
+# scale (measured candidate volume: 7932 -> ~4100 columns/atom), the 192 B
+# brick-row gathers run at the same ~50 GB/s as the old 768 B block rows,
+# and the exclusion bitmask shrinks to ONE 16-bit word per (row atom,
+# brick), expanded in-kernel by an exact f32 MXU matmul.
+BRICK = 16
+KQ = (COLS_PER_TILE * 64) // BRICK      # bricks per kernel chunk (128)
 
 
 def _erfc_poly_fast(x, exp_x2):
@@ -121,25 +129,40 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     kfrac = jnp.round(geom.to_fractional(d_anch - d_red, binv))
     W_s = W_s + kfrac
 
+    # row bboxes at BLOCK granularity (rows stay 64-wide), candidate
+    # bboxes at BRICK granularity (16-atom quarter blocks, ~2x tighter)
     blocks = pos_s.reshape(nb, block, 3)
     bmin = jnp.min(blocks, axis=1)
     bmax = jnp.max(blocks, axis=1)
     centers = 0.5 * (bmin + bmax)                          # (nb, 3)
     half = 0.5 * (bmax - bmin)
-    d = centers[:, None, :] - centers[None, :, :]          # (nb, nb, 3)
+    nq = n_pad // BRICK
+    bricks = pos_s.reshape(nq, BRICK, 3)
+    qmin = jnp.min(bricks, axis=1)
+    qmax = jnp.max(bricks, axis=1)
+    qcenters = 0.5 * (qmin + qmax)                         # (nq, 3)
+    qhalf = 0.5 * (qmax - qmin)
+    d = centers[:, None, :] - qcenters[None, :, :]         # (nb, nq, 3)
     d = geom.periodic_delta(d, box)
-    gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + half[None, :, :]),
+    gap = jnp.maximum(jnp.abs(d) - (half[:, None, :] + qhalf[None, :, :]),
                       0.0)
-    close = jnp.sum(gap * gap, axis=-1) < reach * reach    # (nb, nb)
+    close = jnp.sum(gap * gap, axis=-1) < reach * reach    # (nb, nq)
 
+    # candidate budget in bricks: brick close-sets are a subset of the
+    # dilated block close-set x4; the measured ratio at liquid density is
+    # ~0.55, so 0.8 is a safe cap (overflow poisons + grows, never silent)
+    factor = 0.8
+    max_cols_q = min(nq, int(max_cols * 4 * factor) + 8)
+    mc_round = ((max_cols_q + KQ - 1) // KQ) * KQ
     col_order = jnp.argsort(~close, axis=1, stable=True)
-    cand = col_order[:, :max_cols].astype(jnp.int32)       # (nb, mc)
+    cand = col_order[:, :max_cols_q].astype(jnp.int32)     # (nb, mcq)
     cand_valid = jnp.take_along_axis(close, cand, axis=1)
     count = jnp.sum(close, axis=1, dtype=jnp.int32)        # valid cands
     overflow = (jnp.sum(close.astype(jnp.int32))
                 - jnp.sum(cand_valid.astype(jnp.int32))).astype(jnp.int32)
-    # invalid slots -> the dummy far block nb (its pairs fail the cutoff)
-    code = jnp.where(cand_valid, cand, nb).astype(jnp.int32)
+    # invalid slots -> the dummy far brick nq (its pairs fail the cutoff)
+    code = jnp.where(cand_valid, cand, nq).astype(jnp.int32)
+    max_cols = max_cols_q
 
     # candidate blocks that can contain an excluded/self pair: blocks whose
     # sorted slots appear in this row block's exclusion entries.  Order the
@@ -152,13 +175,13 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
         excl_slot_pre = jnp.where(excl_o_pre >= 0,
                                   inv_order[jnp.clip(excl_o_pre, 0)], -1)
         excl_blk = jnp.where(excl_slot_pre >= 0,
-                             excl_slot_pre // block, -1)    # (n_pad, E)
+                             excl_slot_pre // BRICK, -1)    # (n_pad, E)
         excl_blk = excl_blk.reshape(nb, block * excl_blk.shape[1])
         has_excl = jnp.any(code[:, :, None]
                            == excl_blk[:, None, :], axis=2)
     else:
         has_excl = jnp.zeros_like(cand_valid)
-    has_excl = has_excl | (code == row_blk)                 # self pairs
+    has_excl = has_excl | (code // (block // BRICK) == row_blk)  # self
     has_excl = has_excl & cand_valid
 
     shift = None
@@ -172,14 +195,14 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
         # needs-image below and the kernel runs the per-pair reduction for
         # them only (ordered as a leading window, like exclusions)
         cent_ext = jnp.concatenate(
-            [centers, jnp.full((1, 3), 1.0e7, f32)], axis=0)   # (nb+1, 3)
+            [qcenters, jnp.full((1, 3), 1.0e7, f32)], axis=0)  # (nq+1, 3)
         half_ext = jnp.concatenate(
-            [half, jnp.zeros((1, 3), f32)], axis=0)
+            [qhalf, jnp.zeros((1, 3), f32)], axis=0)
         c_cand = cent_ext[code]                                # (nb, mc, 3)
         d_cent = centers[:, None, :] - c_cand
         d_centred = geom.periodic_delta(d_cent, box.astype(f32))
         shift = d_cent - d_centred                             # (nb, mc, 3)
-        is_dummy = (code == nb)[:, :, None]
+        is_dummy = (code == nq)[:, :, None]
         shift = jnp.where(is_dummy, 0.0, shift)
         boxf = box.astype(f32)
         widths = jnp.stack([boxf[0, 0], boxf[1, 1], boxf[2, 2]])
@@ -205,7 +228,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
         shift = jnp.take_along_axis(shift, reorder[:, :, None], axis=1)
     if mc_round > max_cols:                    # pad to a whole chunk count
         code = jnp.pad(code, ((0, 0), (0, mc_round - max_cols)),
-                       constant_values=nb)
+                       constant_values=nq)
         if use_shift:
             shift = jnp.pad(shift,
                             ((0, 0), (0, mc_round - max_cols), (0, 0)))
@@ -241,48 +264,46 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     else:
         entries = jnp.arange(n_pad, dtype=jnp.int32)[:, None]
     e1 = entries.shape[1]
-    be = jnp.where(entries >= 0, entries // block, -1)
-    le = jnp.where(entries >= 0, entries % block, 0)
+    be = jnp.where(entries >= 0, entries // BRICK, -1)
+    le = jnp.where(entries >= 0, entries % BRICK, 0)
     berb = be.reshape(nb, block, e1)
     lerb = le.reshape(nb, block, e1)
+    # ONE 16-bit word per (row atom, candidate brick), kept in f32 (exact
+    # below 2^24): Mosaic rejects vector shifts and int-bool bitcasts, so
+    # the kernel tests bits with float floor/parity arithmetic instead.
+    # XLA's exp2 is an approximation; integer shifts are exact.
+    sh_f = jnp.left_shift(jnp.int32(1), lerb).astype(f32)   # (nb, 64, E1)
 
     def mask_chunk(cand_chunk):
-        # (nb, mcc, 64, E1) transient, chunked over candidate slots.
-        # FLOAT words, 16 bits each (exact below 2^24): Mosaic rejects both
-        # vector shifts and int-bool bitcasts, so the kernel tests bits with
-        # float floor/parity arithmetic instead
+        # (nb, mcc, 64, E1) transient, chunked over candidate slots
         m = cand_chunk[:, :, None, None] == berb[:, None, :, :]
-        # XLA's exp2 is an approximation; integer shifts are exact
-        sh = jnp.left_shift(jnp.int32(1),
-                            (lerb % 16)).astype(f32)[:, None, :, :]
-        words = []
-        for wdx in range(4):
-            sel = m & (lerb[:, None] // 16 == wdx)
-            words.append(jnp.sum(jnp.where(sel, sh, 0.0), axis=3))
-        # words on the SUBLANE axis, row atoms on lanes
-        return jnp.stack(words, axis=2)                     # (nb, mcc, 4, 64)
+        return jnp.sum(jnp.where(m, sh_f[:, None], 0.0), axis=3)
 
     # bitmasks are stored only for the exclusion WINDOW (candidates are
     # ordered exclusion-first, and only chunks below excl_count unpack
-    # masks): a full (nb, mc, 4, 64) table would be ~75 MB at protein scale
-    # and dominate both the build and the per-step aux traffic. Rows whose
-    # exclusion candidates exceed the capacity poison via overflow.
-    exc_cap = min(max_cols, 2 * COLS_PER_TILE)
+    # masks); a full-width table would dominate build + aux traffic. Rows
+    # whose exclusion candidates exceed the capacity poison via overflow.
+    exc_cap = min(max_cols, 2 * KQ)
     overflow = overflow + jnp.sum(
         jnp.maximum(excl_count - exc_cap, 0)).astype(jnp.int32)
     chunks = []
     step = 16
     for c0 in range(0, exc_cap, step):
         chunks.append(mask_chunk(code[:, c0:c0 + step]))
-    excl_bits = jnp.concatenate(chunks, axis=1)            # (nb, cap, 4, 64)
+    words = jnp.concatenate(chunks, axis=1)                # (nb, cap, 64)
+    # kernel layout: (nb, chunk, 64 row lanes, KQ bricks)
+    excl_bits = words.reshape(nb, exc_cap // KQ, KQ, block)
+    excl_bits = excl_bits.transpose(0, 1, 3, 2)            # (nb, ch, 64, KQ)
 
     # compacted STATIC candidate slab (params don't move): one build-time
-    # block-row gather -> (nb, 3, mc*64) contiguous
-    static_blk = feat[:, 3:6, :]                            # (nb+1, 3, 64)
-    sslab = jnp.take(static_blk.reshape(nb + 1, 3 * block),
-                     code.reshape(-1), axis=0)
-    sslab = sslab.reshape(nb, max_cols, 3, block).transpose(0, 2, 1, 3)
-    sslab = sslab.reshape(nb, 3, max_cols * block)
+    # brick-row gather -> (nb, 3, mc*16) contiguous
+    static_q = feat[:nb, 3:6, :].reshape(nb, 3, block // BRICK, BRICK)
+    static_q = static_q.transpose(0, 2, 1, 3).reshape(nq, 3 * BRICK)
+    static_q = jnp.concatenate(
+        [static_q, jnp.zeros((1, 3 * BRICK), f32)], axis=0)  # (nq+1, 48)
+    sslab = jnp.take(static_q, code.reshape(-1), axis=0)
+    sslab = sslab.reshape(nb, max_cols, 3, BRICK).transpose(0, 2, 1, 3)
+    sslab = sslab.reshape(nb, 3, max_cols * BRICK)
 
     # per-step coordinate refresh data: sorted-frame offsets (current box);
     # indices stored BLOCKED so per-step gathers produce (nb, 64) planes
@@ -322,8 +343,8 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
 
     feat = st["feat"]
     code = st["code"]
-    excl_bits = st["excl_bits"]
-    exc_chunks = excl_bits.shape[1] // COLS_PER_TILE
+    excl_bits = st["excl_bits"]                 # (nb, ch, 64, KQ)
+    exc_chunks = excl_bits.shape[1]
     sslab = st["sslab"]
     order = st["order"]
     inv_order = st["inv_order"]
@@ -352,22 +373,23 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     feat = feat.at[:nb, 1].set(pyb)
     feat = feat.at[:nb, 2].set(pzb)
 
-    # per-step compaction of candidate coordinates: one block-row gather
-    # into a contiguous (nb, 3, mcc*64) slab (see module docstring)
-    pos_blk = jnp.full((nb + 1, 3, block), 1.0e7, f32)
-    pos_blk = pos_blk.at[:nb, 0].set(pxb)
-    pos_blk = pos_blk.at[:nb, 1].set(pyb)
-    pos_blk = pos_blk.at[:nb, 2].set(pzb)
-    pslab = jnp.take(pos_blk.reshape(nb + 1, 3 * block),
-                     code.reshape(-1), axis=0)
-    pslab = pslab.reshape(nb, max_cols, 3, block)
+    # per-step compaction of candidate coordinates: one brick-row gather
+    # into a contiguous (nb, 3, mcc*16) slab (see module docstring)
+    nq = nb * (block // BRICK)
+    pos_q = jnp.stack([pxb, pyb, pzb], axis=1)             # (nb, 3, 64)
+    pos_q = pos_q.reshape(nb, 3, block // BRICK, BRICK)
+    pos_q = pos_q.transpose(0, 2, 1, 3).reshape(nq, 3 * BRICK)
+    pos_q = jnp.concatenate(
+        [pos_q, jnp.full((1, 3 * BRICK), 1.0e7, f32)], axis=0)
+    pslab = jnp.take(pos_q, code.reshape(-1), axis=0)
+    pslab = pslab.reshape(nb, max_cols, 3, BRICK)
     use_shift = "shift" in st
     if use_shift:
         # candidates pre-imaged next to their row block (build-time shifts):
         # the kernel then skips the per-pair minimum image
         pslab = pslab + st["shift"][:, :, :, None]
     pslab = pslab.transpose(0, 2, 1, 3)
-    pslab = pslab.reshape(nb, 3, max_cols * block)
+    pslab = pslab.reshape(nb, 3, max_cols * BRICK)
 
     consts = jnp.array([[alpha, cutoff * cutoff, krf, crf,
                          boxf[0, 0], boxf[1, 0], boxf[1, 1],
@@ -376,16 +398,16 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                          1.0 / boxf[2, 2], 0.0, 0.0, 0.0]], f32)
 
     kernel = functools.partial(_kernel_body,
-                               mode=int(mode), kc=COLS_PER_TILE, b=block,
+                               mode=int(mode), kc=KQ, b=block,
                                want_energy=bool(want_energy))
-    grid = (nb, max_cols // COLS_PER_TILE)
+    grid = (nb, max_cols // KQ)
 
+    cw = KQ * BRICK
     # per-lane reciprocal bit weights for the float bitmask test (kernels
-    # cannot capture array constants; rows identical, read as (1, 64))
+    # cannot capture array constants; rows identical, read as (1, cw));
+    # each brick spans 16 lanes, bit index = lane % 16
     lanebit = jnp.broadcast_to(jnp.asarray(
-        np.exp2(-(np.arange(block) % 16)).astype(np.float32)), (8, block))
-
-    cw = COLS_PER_TILE * block
+        np.exp2(-(np.arange(cw) % BRICK)).astype(np.float32)), (8, cw))
 
     def sweep(count, excl_count, img_count, feat_rows, pslab_s, sslab_s,
               bits_s):
@@ -400,7 +422,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                                  lambda r, c, cnt, ecnt, icnt:
                                      (r * 0, r * 0),
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((8, block),
+                    pl.BlockSpec((8, cw),
                                  lambda r, c, cnt, ecnt, icnt:
                                      (r * 0, r * 0)),
                     pl.BlockSpec((1, 6, block),
@@ -415,7 +437,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                     # bits exist only for the exclusion window; chunks past
                     # it never unpack masks, so clamp the index (re-fetch of
                     # an unchanged block is elided by the pipeline)
-                    pl.BlockSpec((1, COLS_PER_TILE, 4, block),
+                    pl.BlockSpec((1, 1, block, KQ),
                                  lambda r, c, cnt, ecnt, icnt,
                                  _m=exc_chunks - 1:
                                      (r, jnp.minimum(c, _m), r * 0, r * 0)),
@@ -564,26 +586,28 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
     r2 = dx * dx + dy * dy + dz * dz
 
     if use_mask:
-        # exclusions + self pairs via the packed per-tile bitmask; padded
-        # atoms carry q=0/eps=0 and the dummy block sits far away, so no
-        # other validity test is needed.  Float bit test: bit j of word w
-        # = parity of floor(w * 2^-(j%16)); all-f32 arithmetic (Mosaic
-        # rejects vector shifts, int-bool bitcasts and i1 concatenation)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        # exclusions + self pairs via the packed per-brick bitmask; padded
+        # atoms carry q=0/eps=0 and the dummy brick sits far away, so no
+        # other validity test is needed.  One 16-bit word per (row atom,
+        # brick), expanded to the brick's 16 lanes by an EXACT f32 matmul
+        # (words are integers < 2^16; multiplying by a 0/1 selector and
+        # summing one term per lane is exact at HIGHEST precision), then
+        # bit j of word w = parity of floor(w * 2^-(lane%16)); all-f32
+        # arithmetic (Mosaic rejects vector shifts and int-bool bitcasts)
+        cwl = kc * 16
+        w = bits_ref[0, 0]                                  # (b, kc) f32
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (kc, cwl), 0)
+        l_io = jax.lax.broadcasted_iota(jnp.int32, (kc, cwl), 1)
+        sel = (l_io // 16 == k_io).astype(jnp.float32)      # (kc, cwl)
+        wexp = jax.lax.dot_general(
+            w, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # (b, cwl)
         inv_bit = lanebit_ref[0:1, :]
-        notex_parts = []
-        for k in range(kc):
-            w = bits_ref[0, k]                              # (4, b) f32
-            w01 = jnp.where(lane < 16, w[0:1, :].reshape(b, 1),
-                            w[1:2, :].reshape(b, 1))
-            w23 = jnp.where(lane < 48, w[2:3, :].reshape(b, 1),
-                            w[3:4, :].reshape(b, 1))
-            wsel = jnp.where(lane < 32, w01, w23)           # (b, b)
-            t = jnp.floor(wsel * inv_bit)
-            # words hold exact <2^16 ints: parity is exactly 0.0 or 1.0
-            parity = t - 2.0 * jnp.floor(0.5 * t)
-            notex_parts.append(1.0 - parity)
-        notex = jnp.concatenate(notex_parts, axis=1)        # (b, kc*b)
+        t = jnp.floor(wexp * inv_bit)
+        # words hold exact <2^16 ints: parity is exactly 0.0 or 1.0
+        parity = t - 2.0 * jnp.floor(0.5 * t)
+        notex = 1.0 - parity                                # (b, kc*16)
         scale = jnp.where(r2 < rc2, notex, 0.0)
     else:
         # f32 literals: Python floats promote to f64 under the global
