@@ -598,7 +598,9 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
         w = bits_ref[0, 0]                                  # (b, kc) f32
         k_io = jax.lax.broadcasted_iota(jnp.int32, (kc, cwl), 0)
         l_io = jax.lax.broadcasted_iota(jnp.int32, (kc, cwl), 1)
-        sel = (l_io // 16 == k_io).astype(jnp.float32)      # (kc, cwl)
+        # int32() guard: the weak literal would promote the floor_divide to
+        # int64 under the package x64 flag, whose Mosaic lowering recurses
+        sel = (l_io // jnp.int32(16) == k_io).astype(jnp.float32)  # (kc, cwl)
         wexp = jax.lax.dot_general(
             w, sel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
