@@ -777,6 +777,7 @@ class NonbondedForce(Force):
                 if engine_env in ("auto", "perstep") else engine_env
         else:
             direct_engine = "n2"
+        self._direct_engine = direct_engine   # introspection (bench harness)
 
         # forward-only z-slab PME (ops/pme_zslab.py) rides the same persistent
         # aux as the direct tile state; it replaces the jax.grad double pass
