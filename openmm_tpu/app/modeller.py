@@ -388,9 +388,11 @@ class Modeller(object):
         addMembrane): tile a pre-equilibrated membrane patch over the XY
         plane, scale the protein to half size in XY, delete lipids/waters
         overlapping it (balancing the two leaflets), then run short
-        dynamics while rescaling the protein back up. The shipped patch is
-        POPC (app/data/POPC.npz, converted coordinate data); other lipids
-        can be passed as any object with `topology` and `positions`.
+        dynamics while rescaling the protein back up. Shipped patches:
+        DLPC, DLPE, DMPC, DOPC, DPPC, POPC, POPE (app/data/*.npz,
+        converted coordinate data — the reference's app/data/*.pdb set);
+        other lipids can be passed as any object with `topology` and
+        `positions`.
         """
         import os
         membraneCenterZ = float(u.strip(membraneCenterZ, u.nanometer))

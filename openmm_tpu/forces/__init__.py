@@ -12,7 +12,7 @@ from .bonded import (HarmonicBondForce, HarmonicAngleForce,
 from .nonbonded import NonbondedForce
 from .cmmotion import CMMotionRemover
 from .thermostats import AndersenThermostat
-from .barostats import (MonteCarloBarostat, RPMDMonteCarloBarostat, MonteCarloAnisotropicBarostat,
+from .barostats import (MonteCarloBarostat, RPMDMonteCarloBarostat, RPMDUpdater, MonteCarloAnisotropicBarostat,
                         MonteCarloMembraneBarostat)
 from .custom import (CustomExternalForce, CustomBondForce, CustomAngleForce,
                      CustomTorsionForce, CustomNonbondedForce,
@@ -38,7 +38,7 @@ __all__ = [
     "Force", "CompiledForce", "CompileConfig",
     "HarmonicBondForce", "HarmonicAngleForce", "PeriodicTorsionForce",
     "RBTorsionForce", "CMAPTorsionForce", "NonbondedForce", "CMMotionRemover",
-    "AndersenThermostat", "MonteCarloBarostat", "RPMDMonteCarloBarostat", "MonteCarloAnisotropicBarostat",
+    "AndersenThermostat", "MonteCarloBarostat", "RPMDMonteCarloBarostat", "RPMDUpdater", "MonteCarloAnisotropicBarostat",
     "MonteCarloMembraneBarostat",
     "CustomExternalForce", "CustomBondForce", "CustomAngleForce",
     "CustomTorsionForce", "CustomNonbondedForce", "CustomCompoundBondForce",

@@ -418,7 +418,22 @@ class MonteCarloMembraneBarostat(_BarostatBase):
             })._with_init_aux(init_aux)
 
 
-class RPMDMonteCarloBarostat(_BarostatBase):
+class RPMDUpdater:
+    """Marker base for forces designed to work with RPMDIntegrator
+    (plugins/rpmd/openmmapi/include/openmm/RPMDUpdater.h): their state
+    update runs ONCE at the start of each RPMD step over the full
+    ring-polymer state (all copies), instead of once per copy the way
+    updateContextState would.  The RPMD integrator applies the update
+    hooks of such forces to the seeded per-copy state (integrators/
+    rpmd.py step fn), which is exactly updateRPMDState's contract."""
+
+    def updateRPMDState(self, context):
+        """Invoked by RPMDIntegrator at the start of each step.  The
+        default implementation is a no-op: the compiled update hook runs
+        inside the jitted step (the TPU-native form of this callback)."""
+
+
+class RPMDMonteCarloBarostat(RPMDUpdater, _BarostatBase):
     """Monte Carlo barostat for ring-polymer MD (RPMDMonteCarloBarostatImpl
     .cpp:51-156): a volume move scales the molecule COMs of the CENTROID and
     applies the same rigid offset to every copy; acceptance uses the mean

@@ -787,9 +787,17 @@ class NonbondedForce(Force):
                      and os.environ.get("OMM_TPU_PME_ZSLAB", "1") == "1")
         if use_zslab:
             from ..ops import pme_zslab
+            # z-window drift margin MUST cover the rebuild predicate's
+            # displacement bound (skin/2, plus ~one step of motion past the
+            # predicate) in z grid cells, or the spread silently loses
+            # charge from drifted atoms between rebuilds
+            z_cell = float(box0[2][2]) / pme_grid[2]
+            drift_cells = max(1, int(math.ceil(
+                (0.5 * nl_skin + 0.02) / z_cell)))
             zslab_cfg = pme_zslab.zslab_config(
                 n, pme_grid,
-                margin=1.25 * getattr(self, "_nl_scale", 1.0))
+                margin=1.25 * getattr(self, "_nl_scale", 1.0),
+                drift_cells=drift_cells)
 
         # windowed banded-selection exceptions (ops/bandsel.py): the
         # exception pair terms and the Ewald exclusion corrections iterate

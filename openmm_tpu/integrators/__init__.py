@@ -12,7 +12,7 @@ from .verlet import VerletIntegrator
 from .langevin import (LangevinIntegrator, LangevinMiddleIntegrator,
                        BrownianIntegrator)
 from .variable import VariableVerletIntegrator, VariableLangevinIntegrator
-from .nose_hoover import NoseHooverIntegrator
+from .nose_hoover import NoseHooverChain, NoseHooverIntegrator
 from .custom import CustomIntegrator
 from .compound import CompoundIntegrator
 from .mts import MTSIntegrator, MTSLangevinIntegrator
@@ -24,7 +24,8 @@ from .rpmd import RPMDIntegrator
 __all__ = [
     "Integrator", "StepDeps", "VerletIntegrator", "LangevinIntegrator",
     "LangevinMiddleIntegrator", "BrownianIntegrator", "VariableVerletIntegrator",
-    "VariableLangevinIntegrator", "NoseHooverIntegrator", "CustomIntegrator",
+    "VariableLangevinIntegrator", "NoseHooverIntegrator", "NoseHooverChain",
+    "CustomIntegrator",
     "CompoundIntegrator", "MTSIntegrator", "MTSLangevinIntegrator",
     "AMDIntegrator", "AMDForceGroupIntegrator", "DualAMDIntegrator",
     "DrudeLangevinIntegrator", "DrudeSCFIntegrator", "DrudeNoseHooverIntegrator",

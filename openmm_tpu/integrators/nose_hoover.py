@@ -80,6 +80,106 @@ def propagate_chain(ke2, chain_pos, chain_vel, kT, dof, dt, tau, n_mts,
     return scale, chain_pos, chain_vel
 
 
+class NoseHooverChain:
+    """Public description of one Nose-Hoover heat-bath chain
+    (openmmapi/include/openmm/NoseHooverChain.h): a plain data object the
+    integrator hands out via getThermostat(); mutations through its setters
+    write back to the owning integrator's chain (the reference returns a
+    C++ reference with the same semantics).
+    """
+
+    def __init__(self, temperature, relativeTemperature, collisionFrequency,
+                 relativeCollisionFrequency, numDOFs, chainLength, numMTS,
+                 numYoshidaSuzuki, chainID, thermostatedAtoms,
+                 thermostatedPairs, _backing=None):
+        if _backing is not None:
+            self._d = _backing
+        else:
+            self._d = {
+                "particles": [int(p) for p in thermostatedAtoms],
+                "pairs": [(int(a), int(b)) for (a, b) in thermostatedPairs],
+                "temperature": float(u.strip(temperature, u.kelvin)),
+                "frequency": float(u.strip(collisionFrequency,
+                                           u.picosecond ** -1)),
+                "rel_temperature": float(u.strip(relativeTemperature,
+                                                 u.kelvin)),
+                "rel_frequency": float(u.strip(relativeCollisionFrequency,
+                                               u.picosecond ** -1)),
+                "chain_length": int(chainLength),
+                "n_mts": int(numMTS),
+                "n_ys": int(numYoshidaSuzuki)}
+        self._d.setdefault("num_dofs", int(numDOFs) if numDOFs else 0)
+        self._d.setdefault("chain_id", int(chainID) if chainID else 0)
+        self._sync = None          # owning integrator's param-sync hook
+
+    def _maybe_sync(self):
+        if self._sync is not None:
+            self._sync()
+
+    def getTemperature(self):
+        return u.Quantity(self._d["temperature"], u.kelvin)
+
+    def setTemperature(self, temperature):
+        self._d["temperature"] = float(u.strip(temperature, u.kelvin))
+        self._maybe_sync()
+
+    def getRelativeTemperature(self):
+        return u.Quantity(self._d["rel_temperature"], u.kelvin)
+
+    def setRelativeTemperature(self, temperature):
+        self._d["rel_temperature"] = float(u.strip(temperature, u.kelvin))
+        self._maybe_sync()
+
+    def getCollisionFrequency(self):
+        return u.Quantity(self._d["frequency"], u.picosecond ** -1)
+
+    def setCollisionFrequency(self, frequency):
+        self._d["frequency"] = float(u.strip(frequency, u.picosecond ** -1))
+        self._maybe_sync()
+
+    def getRelativeCollisionFrequency(self):
+        return u.Quantity(self._d["rel_frequency"], u.picosecond ** -1)
+
+    def setRelativeCollisionFrequency(self, frequency):
+        self._d["rel_frequency"] = float(
+            u.strip(frequency, u.picosecond ** -1))
+        self._maybe_sync()
+
+    def getNumDegreesOfFreedom(self):
+        return self._d["num_dofs"]
+
+    def setNumDegreesOfFreedom(self, numDOF):
+        self._d["num_dofs"] = int(numDOF)
+
+    def getChainLength(self):
+        return self._d["chain_length"]
+
+    def getNumMultiTimeSteps(self):
+        return self._d["n_mts"]
+
+    def getNumYoshidaSuzukiTimeSteps(self):
+        return self._d["n_ys"]
+
+    def getChainID(self):
+        return self._d["chain_id"]
+
+    def getThermostatedAtoms(self):
+        return list(self._d["particles"])
+
+    def setThermostatedAtoms(self, atomIDs):
+        self._d["particles"] = [int(p) for p in atomIDs]
+
+    def getThermostatedPairs(self):
+        return list(self._d["pairs"])
+
+    def setThermostatedPairs(self, pairIDs):
+        self._d["pairs"] = [(int(a), int(b)) for (a, b) in pairIDs]
+
+    def usesChainForAbsoluteMotion(self):
+        # a chain with pairs still thermostats the pair COMs absolutely
+        return True
+
+
 class NoseHooverIntegrator(Integrator):
     def __init__(self, temperature=298.0, collisionFrequency=50.0,
                  stepSize=0.001, chainLength=3, numMTS=3, numYoshidaSuzuki=7):
@@ -121,11 +221,29 @@ class NoseHooverIntegrator(Integrator):
                                            u.picosecond ** -1)),
             "chain_length": int(chainLength),
             "n_mts": int(numMTS),
-            "n_ys": int(numYoshidaSuzuki)})
+            "n_ys": int(numYoshidaSuzuki),
+            "chain_id": len(self._thermostats)})
         return len(self._thermostats) - 1
 
     def getNumThermostats(self):
         return len(self._thermostats)
+
+    def getThermostat(self, chainID=0):
+        """The public NoseHooverChain object for one chain
+        (NoseHooverIntegrator.h:197): setters write through to this
+        integrator, matching the reference's returned C++ reference."""
+        d = self._thermostats[chainID]
+        if self._context is not None:
+            d["num_dofs"] = int(self._chain_dof(chainID, self._context._deps))
+        chain = NoseHooverChain(None, None, None, None, None, None, None,
+                                None, None, [], [], _backing=d)
+        if self._context is not None:
+            chain._sync = self._context._sync_integrator_params
+        return chain
+
+    def hasSubsystemThermostats(self):
+        return any(th["particles"] or th["pairs"]
+                   for th in self._thermostats)
 
     def getTemperature(self, chainID=0):
         return u.Quantity(self._thermostats[chainID]["temperature"],

@@ -2,7 +2,9 @@
 
 The hand-scheduled twin of pairs.rows_ef_from_state (itself the TPU recast
 of the reference's warp tile kernel, platforms/cuda/src/kernels/
-nonbonded.cu:44-106), v4: COMPACTED CONTIGUOUS candidate slabs.
+nonbonded.cu:44-106), v5: COMPACTED CONTIGUOUS candidate slabs at 16-atom
+BRICK granularity (the reference culls 32-atom blocks the same way,
+findInteractingBlocks.cu:55-180).
 
 Design notes (what the TPU dictates):
 * Candidate column data is COMPACTED into per-row-block contiguous slabs,
@@ -26,10 +28,12 @@ Design notes (what the TPU dictates):
   contain an excluded pair.
 
 Data layout: row features (nb, 6, 64) f32 planes [x, y, z, sqrt(k_e)q,
-sigma/2, 2*sqrt(eps)]; candidate slabs (nb, 3, mcc*64) for positions
-(refreshed per step) and folded static parameters (built once); exclusion
-bitmasks (nb, mcc, 4, 64) float words, 16 bits per word. Invalid slots
-point at a far-away dummy block whose pairs fail the cutoff.
+sigma/2, 2*sqrt(eps)]; candidate slabs (nb, 3, mc*16) for positions
+(refreshed per step) and folded static parameters (built once), where mc
+counts 16-atom candidate BRICKS; exclusion bitmasks (nb, ch, 64, KQ) —
+ONE float word per (row atom, candidate brick), 16 bits per word, stored
+only for the exclusion window (candidates are ordered exclusion-first).
+Invalid slots point at a far-away dummy brick whose pairs fail the cutoff.
 """
 from __future__ import annotations
 
@@ -78,7 +82,8 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     pos: (n_pad, 3) RAW (unwrapped) positions; charge/sigma/epsilon:
     (n_pad,) padded parameters; exclusions: (n_pad, E) int32 original-id
     table or None; reach = cutoff + skin. col_cap is accepted for API
-    compatibility and ignored (candidates are block-granular).
+    compatibility and ignored (candidates are brick-granular; the
+    budget is derived from max_cols below).
     Returns a dict of device arrays (all static shapes).
     """
     from . import geometry as geom
@@ -89,8 +94,6 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     nb = n_pad // block
     f32 = jnp.float32
     max_cols = min(max_cols, nb)
-    mc_round = ((max_cols + COLS_PER_TILE - 1)
-                // COLS_PER_TILE) * COLS_PER_TILE
 
     # ---- wrap bookkeeping: pos = pos_w + W @ box with integer W
     binv = geom.box_inverse(box).astype(f32)
@@ -153,6 +156,12 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     # ~0.55, so 0.8 is a safe cap (overflow poisons + grows, never silent)
     factor = 0.8
     max_cols_q = min(nq, int(max_cols * 4 * factor) + 8)
+    if max_cols >= nb:
+        # the block-level budget saturates the grid (small box: every block
+        # is a candidate) — the subset factor would under-budget the brick
+        # conversion AND capacity escalation cannot grow past the clamp, so
+        # budget every brick (nq is small exactly when this branch fires)
+        max_cols_q = nq
     mc_round = ((max_cols_q + KQ - 1) // KQ) * KQ
     col_order = jnp.argsort(~close, axis=1, stable=True)
     cand = col_order[:, :max_cols_q].astype(jnp.int32)     # (nb, mcq)

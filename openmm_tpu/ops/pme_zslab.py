@@ -43,11 +43,19 @@ PWIN_BLOCKS = 3      # K2 potential window: 3 blocks of 4 planes = 12 planes
 ZPAD = 8             # circular z padding of the potential planes
 
 
-def zslab_config(n, grid, margin=1.25):
-    """Static sizing for the z-slab machinery."""
+def zslab_config(n, grid, margin=1.25, drift_cells=1):
+    """Static sizing for the z-slab machinery.
+
+    drift_cells: how many z grid cells an atom may drift between neighbor
+    rebuilds. MUST cover the rebuild predicate's displacement bound
+    (ceil((skin/2 + one-step slack) / z_cell)): with the margin too small
+    the spread silently loses charge from drifted atoms and the K2 span
+    check eventually poisons the run (the round-3 skin bump to 0.25 nm
+    broke the old hardcoded one-cell margin exactly this way)."""
     nx, ny, nz = grid
+    dc = max(1, int(drift_cells))
     n_p = ((n + CHUNK - 1) // CHUNK) * CHUNK
-    win_est = int(n * 7.0 / nz * margin) + CHUNK
+    win_est = int(n * (5.0 + 2 * dc) / nz * margin) + CHUNK
     cap = ((win_est + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
     cap = min(cap, n_p + CHUNK)
     # circular-extended array: REAL sorted atoms (n, unpadded — any padding
@@ -58,13 +66,14 @@ def zslab_config(n, grid, margin=1.25):
     # K2 potential window: a chunk's atoms span ~CHUNK*nz/n planes; cover
     # the 5-plane support + drift margin, rounded to 4-plane blocks
     span_est = int(math.ceil(CHUNK * nz / max(n, 1))) + 2
-    pwin_planes = ((span_est + 5 + 3 + 3) // 4) * 4
+    pwin_planes = ((span_est + 9 + 2 * dc + 3) // 4) * 4
     pwin_planes = min(pwin_planes, ((nz + 15) // 4) * 4)
     return {
         "n": n, "n_p": n_p, "cap": cap, "n_ext": n_ext,
         "grid": tuple(grid), "nxp": 64 if nx <= 64 else _pad8(nx),
         "nyp": 64 if ny <= 64 else _pad8(ny),
         "pwin_planes": pwin_planes, "pwin_blocks": pwin_planes // 4,
+        "drift_cells": dc,
     }
 
 
@@ -156,11 +165,13 @@ def build_z_state(pos, box, charges, grid, cfg):
         (jnp.arange(pos.shape[0]) < n).astype(jnp.int32))
     cum = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(hist, dtype=jnp.int32)])
-    # window of plane z: sorted cells z-1 .. z+5 (circular)
+    # window of plane z: sorted cells z-dc .. z+4+dc (circular), where dc
+    # covers the worst-case drift between rebuilds (zslab_config)
+    dc = cfg.get("drift_cells", 1)
     zs = jnp.arange(nz)
-    start = jnp.where(zs >= 1, cum[zs - 1], cum[nz - 1])  # (nz,)
+    start = cum[(zs - dc) % nz]                           # (nz,)
     length = jnp.zeros(nz, jnp.int32)
-    for dshift in range(-1, 6):
+    for dshift in range(-dc, 5 + dc):
         length = length + jnp.roll(hist, -dshift)
     overflow = jnp.sum(jnp.maximum(length - (cap - CHUNK), 0))
     sq = start // CHUNK

@@ -231,3 +231,49 @@ def test_nose_hoover_subsystem_pair_thermostat():
     t_rel = 2.0 * np.mean(ke_rel) / (3 * n_pairs * BOLTZ)
     assert abs(t_com - 300.0) < 60.0, t_com
     assert abs(t_rel - 100.0) < 25.0, t_rel
+
+
+def test_nose_hoover_chain_public_object():
+    """NoseHooverChain data class (NoseHooverChain.h) + integrator
+    getThermostat/hasSubsystemThermostats (NoseHooverIntegrator.h:197)."""
+    integ = mm.NoseHooverIntegrator(310.0, 40.0, 0.001, chainLength=4,
+                                    numMTS=2, numYoshidaSuzuki=5)
+    assert integ.getNumThermostats() == 1
+    assert not integ.hasSubsystemThermostats()
+    ch = integ.getThermostat(0)
+    assert isinstance(ch, mm.NoseHooverChain)
+    assert ch.getTemperature() == 310.0 * u.kelvin
+    assert ch.getCollisionFrequency() == 40.0 / u.picosecond
+    assert ch.getChainLength() == 4
+    assert ch.getNumMultiTimeSteps() == 2
+    assert ch.getNumYoshidaSuzukiTimeSteps() == 5
+    assert ch.getChainID() == 0
+    assert ch.getThermostatedAtoms() == []
+    assert ch.getThermostatedPairs() == []
+    # setters write through to the integrator (C++ reference semantics)
+    ch.setTemperature(350.0)
+    assert integ.getTemperature(0) == 350.0 * u.kelvin
+    ch.setCollisionFrequency(25.0)
+    assert integ.getCollisionFrequency(0) == 25.0 / u.picosecond
+    # standalone construction
+    solo = mm.NoseHooverChain(300.0, 1.0, 50.0, 5.0, 96, 3, 3, 7, 2,
+                              [0, 1, 2], [(3, 4)])
+    assert solo.getNumDegreesOfFreedom() == 96
+    assert solo.getChainID() == 2
+    assert solo.getThermostatedAtoms() == [0, 1, 2]
+    assert solo.getThermostatedPairs() == [(3, 4)]
+    solo.setNumDegreesOfFreedom(12)
+    assert solo.getNumDegreesOfFreedom() == 12
+    # subsystem chain flips the flag
+    integ2 = mm.NoseHooverIntegrator(300.0, 50.0, 0.001)
+    integ2.addSubsystemThermostat([0, 1], [], 200.0, 10.0, 200.0, 10.0)
+    assert integ2.hasSubsystemThermostats()
+
+
+def test_rpmd_updater_marker():
+    """RPMDUpdater marker base (plugins/rpmd RPMDUpdater.h): the RPMD
+    barostat is one; its update hook runs once per RPMD step."""
+    from openmm_tpu import RPMDMonteCarloBarostat, RPMDUpdater
+    b = RPMDMonteCarloBarostat(1.0, 5)
+    assert isinstance(b, RPMDUpdater)
+    b.updateRPMDState(None)   # default no-op must not raise

@@ -96,6 +96,22 @@ def test_add_membrane_builds_and_relaxes():
     assert system.getNumParticles() == n_after
 
 
+def test_all_shipped_lipid_patches_load():
+    """Every reference lipid patch ships converted (app/data/DLPC.pdb etc.):
+    topology parses, coordinates are finite, both leaflets populated."""
+    for name in ("DLPC", "DLPE", "DMPC", "DOPC", "DPPC", "POPC", "POPE"):
+        top, pos, box = _load_membrane_patch(name)
+        assert top.getNumAtoms() == len(pos), name
+        assert np.isfinite(pos).all(), name
+        assert top.getNumBonds() > top.getNumAtoms() // 2, name
+        lip_res = [r for r in top.residues() if r.name != "HOH"]
+        assert len(lip_res) >= 30, name
+        lip_z = np.asarray([pos[[a.index for a in r.atoms()]].mean(axis=0)[2]
+                            for r in lip_res])
+        mid = np.median(lip_z)
+        assert (lip_z < mid - 0.3).any() and (lip_z > mid + 0.3).any(), name
+
+
 def test_convert_water_tip4pew_tip5p():
     m = Modeller(app.Topology(), u.Quantity([], u.nanometer))
     top = app.Topology()

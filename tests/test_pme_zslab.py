@@ -81,3 +81,26 @@ def test_zslab_stale_state_drift():
     assert abs(float(e1) - float(e2)) < 2e-4 * abs(float(e1))
     f1, f2 = np.asarray(f1), np.asarray(f2)
     assert np.abs(f1 - f2).max() < 2e-4 * np.abs(f1).max()
+
+
+def test_zslab_skin_scale_drift():
+    """Drift LARGER than one z cell (the production skin-0.25 regime:
+    skin/2 = 0.125 nm vs 0.125 nm cells) must stay exact when the config
+    carries the matching drift_cells margin — the round-3 skin bump broke
+    the hardcoded one-cell margin exactly here (silent charge loss, then
+    the K2 span poison)."""
+    pos, q, box, bsq = setup()
+    cfg = zs.zslab_config(pos.shape[0], GRID, drift_cells=2)
+    assert cfg["drift_cells"] == 2
+    state = zs.build_z_state(pos, box, q, GRID, cfg)
+    assert int(state["overflow"]) == 0
+    rng = np.random.RandomState(5)
+    # worst case z drift ~1.25 cells, the skin/2 + one-step bound
+    drift = rng.uniform(-0.155, 0.155, size=pos.shape).astype(np.float32)
+    pos2 = pos + jnp.asarray(drift)
+    e1, f1 = ref_ef(pos2, q, box, bsq)
+    e2, f2 = zslab_ef(pos2, q, box, bsq, state=state, cfg=cfg)
+    assert np.isfinite(float(e2))
+    assert abs(float(e1) - float(e2)) < 2e-4 * abs(float(e1))
+    f1, f2 = np.asarray(f1), np.asarray(f2)
+    assert np.abs(f1 - f2).max() < 2e-4 * np.abs(f1).max()

@@ -16,7 +16,10 @@ import numpy as np
 
 from openmm_tpu.ops import pallas_pairs as pp
 if "CPT" in os.environ:
+    # the kernel chunk width derives from KQ, frozen at import: recompute
+    # every derived constant or the sweep silently measures the default
     pp.COLS_PER_TILE = int(os.environ["CPT"])
+    pp.KQ = (pp.COLS_PER_TILE * 64) // pp.BRICK
 from openmm_tpu.ops import pairs as pairs_mod
 
 

@@ -61,7 +61,8 @@ def main():
                              np.asarray(st["excl_count"]).mean(),
                              np.asarray(st["excl_count"]).max(),
                              np.asarray(st["img_count"]).mean()))
-    pair_slots = int(cnt.sum()) * 64 * 64
+    # count is in BRICKS: each (row block, brick) tile is 64 x BRICK pairs
+    pair_slots = int(cnt.sum()) * 64 * pp.BRICK
     print("pair slots: %.1fM  (%.0f/atom)" % (pair_slots / 1e6,
                                               pair_slots / N))
 

@@ -28,7 +28,8 @@ def timeit(fn, *args, n=20, warmup=2):
 
 def main():
     from openmm_tpu import app
-    pdb = app.PDBFile("/root/reference/examples/5dfr_solv-cube_equil.pdb")
+    pdb = app.PDBFile(os.environ.get(
+        "PROFILE_PDB", "/root/reference/examples/5dfr_solv-cube_equil.pdb"))
     ff = app.ForceField("amber14-all.json", "amber14-tip3p.json")
     system = ff.createSystem(pdb.topology, nonbondedMethod=app.PME,
                              nonbondedCutoff=0.9 * u.nanometer,
