@@ -32,17 +32,18 @@ class CMMotionRemover(Force):
         def update_state_fn(deps, state, params_list, aux):
             # mass-weighted reduction as a (1,n)x(n,3) matmul and the frozen
             # mask folded into a multiplicative (n,) factor: avoids the
-            # (n,1)-broadcast layout tax measured on TPU (SURVEY §10)
+            # (n,1)-broadcast layout tax measured on TPU (SURVEY §10).
+            # BRANCHLESS step-frequency gate: a lax.cond here costs ~1 ms in
+            # the fused step (thunk dispatch + state pass-through), while the
+            # reduction itself is microseconds — so compute always, multiply
+            # by the 0/1 "fires this step" factor (round-4 profile).
             moving_f = (deps.inv_masses != 0).astype(masses.dtype)
-
-            def remove(vel):
-                mom = jnp.einsum("n,nd->d", masses, vel,
-                                 precision=jax.lax.Precision.HIGHEST)
-                v_cm = mom / total_mass
-                return vel - moving_f[:, None] * v_cm[None, :]
-
-            do = (state["step"] % freq) == 0
-            vel = jax.lax.cond(do, remove, lambda v: v, state["velocities"])
+            vel = state["velocities"]
+            mom = jnp.einsum("n,nd->d", masses, vel,
+                             precision=jax.lax.Precision.HIGHEST)
+            v_cm = mom / total_mass
+            do = ((state["step"] % freq) == 0).astype(masses.dtype)
+            vel = vel - (do * moving_f)[:, None] * v_cm[None, :]
             state = dict(state)
             state["velocities"] = vel
             return state, aux

@@ -62,6 +62,9 @@ def main():
     nb = n_pad // block
     vol = box_l ** 3
     block_side = (block * vol / n) ** (1.0 / 3.0)
+    # SCF: spatial sort cell factor (sort_cell = SCF * block_side) — finer
+    # sort cells tighten BRICK bboxes (less candidate overcount)
+    scf = float(os.environ.get("SCF", "1.0"))
     reach = cutoff + skin + 1.85 * block_side
     neigh = (nb / vol) * (4.0 / 3.0) * np.pi * reach ** 3
     max_cols = min(nb, int(neigh * 1.6) + 4)
@@ -70,7 +73,8 @@ def main():
     use_shift = os.environ.get("SHIFT", "1") == "1"
     build = jax.jit(lambda p: pp.build_tile_state(
         p, box, charge, sigma, epsilon, exclusions, n, cutoff + skin,
-        max_cols, block=block, sort_cell=block_side, use_shift=use_shift))
+        max_cols, block=block, sort_cell=scf * block_side,
+        use_shift=use_shift))
     st = build(pos)
     jax.block_until_ready(st["count"])
     print("build: %.3f ms  count mean=%.1f max=%d excl mean=%.1f  overflow=%d"

@@ -135,8 +135,13 @@ def main():
 
     def nb_ef(pos, box):
         return m_nb.ef_fn(pos, box, p_nb, gp, aux, want_energy=False)
-    print("nonbonded ef_fn w/ aux (direct+recip+rest): %.3f ms"
-          % timeit(jax.jit(nb_ef), pos, state["box"]))
+    try:
+        print("nonbonded ef_fn w/ aux (direct+recip+rest): %.3f ms"
+              % timeit(jax.jit(nb_ef), pos, state["box"]))
+    except Exception as e:
+        # the axon remote-compile tunnel caps the HLO payload (HTTP 413);
+        # this standalone program inlines every selection-matrix constant
+        print("nonbonded ef_fn FAILED: %s" % str(e)[:120])
 
     # direct tile sweep alone (persisted st)
     from openmm_tpu.ops import pallas_pairs as pp
