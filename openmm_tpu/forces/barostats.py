@@ -151,6 +151,7 @@ class MonteCarloBarostat(_BarostatBase):
         return CompiledForce(
             name=self.getName(), force_group=self.getForceGroup(),
             params={}, energy_fn=energy_fn, update_state_fn=update_state_fn,
+            moves_positions=True,
             global_defaults={MonteCarloBarostat.Pressure(): self._pressure,
                              MonteCarloBarostat.Temperature(): self._temperature},
         )._with_init_aux(init_aux)
@@ -279,6 +280,7 @@ class MonteCarloAnisotropicBarostat(_BarostatBase):
         return CompiledForce(
             name=self.getName(), force_group=self.getForceGroup(),
             params={}, energy_fn=energy_fn, update_state_fn=update_state_fn,
+            moves_positions=True,
             global_defaults=defaults)._with_init_aux(init_aux)
 
 
@@ -411,6 +413,7 @@ class MonteCarloMembraneBarostat(_BarostatBase):
         return CompiledForce(
             name=self.getName(), force_group=self.getForceGroup(),
             params={}, energy_fn=energy_fn, update_state_fn=update_state_fn,
+            moves_positions=True,
             global_defaults={
                 MonteCarloMembraneBarostat.Pressure(): self._pressure,
                 MonteCarloMembraneBarostat.SurfaceTension(): self._tension,
@@ -546,6 +549,7 @@ class RPMDMonteCarloBarostat(RPMDUpdater, _BarostatBase):
         return CompiledForce(
             name=self.getName(), force_group=self.getForceGroup(),
             params={}, energy_fn=energy_fn, update_state_fn=update_state_fn,
+            moves_positions=True,
             global_defaults={
                 RPMDMonteCarloBarostat.Pressure(): self._pressure},
         )._with_init_aux(init_aux)

@@ -66,6 +66,17 @@ class CompiledForce:
     # True when ef_fn accepts a want_energy keyword: integrator steps
     # consume only forces, and the kernel can skip the energy lanes
     ef_takes_want_energy: bool = False
+    # True when update_state_fn can move particle positions or the box
+    # (barostats): such modules force the legacy in-loop refresh path,
+    # because host-boundary neighbor rebuilds cannot see the jump
+    moves_positions: bool = False
+    # optional staleness guard for the segmented step path:
+    # (state, aux) -> int32 (1 when the module's persistent cache can no
+    # longer be trusted for the CURRENT positions — e.g. the two largest
+    # displacements since the list build sum past the skin). The Context
+    # accumulates guards inside multi-step segments and redoes any segment
+    # that tripped one (the honest-failure analog of overflow poisoning).
+    stale_guard_fn: Optional[Callable] = None
 
     def _with_init_aux(self, fn):
         self.init_aux = fn

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 import openmm_tpu as mm
 from openmm_tpu import unit as u
 
-N_LOOP = 50
+N_LOOP = 300
 
 
 def timeit(fn, *args, n=20, warmup=2):
+    """Single-dispatch timing: includes the ~3 ms tunnel dispatch overhead
+    per call (tools/probe_dispatch.py) — use only for rebuild-class costs."""
     for _ in range(warmup):
         r = fn(*args)
     jax.block_until_ready(r)
@@ -34,7 +36,9 @@ def timeit(fn, *args, n=20, warmup=2):
 
 
 def timeit_loop(step_fn, state, params, n=N_LOOP):
-    """Amortized per-step cost: n steps inside one jitted fori_loop."""
+    """Amortized per-step cost: n steps inside one jitted fori_loop.
+    n must be large: a big-argument jit call carries a FIXED ~50 ms
+    dispatch/return overhead on this tunnel (tools/probe_dispatch.py)."""
     def run(state, params):
         def body(i, s):
             return step_fn(s, params)
@@ -44,6 +48,25 @@ def timeit_loop(step_fn, state, params, n=N_LOOP):
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = runj(state, params)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def timeit_chain(phase_fn, pos, box, n=N_LOOP):
+    """Amortized per-call cost of a (pos, box) -> forces-like phase, with a
+    tiny dependency chain through the loop so XLA cannot hoist the
+    loop-invariant compute; same fixed-overhead correction as timeit_loop."""
+    def run(pos, box):
+        def body(i, p):
+            out = phase_fn(p, box)
+            f = out[1] if isinstance(out, tuple) else out
+            return p + 1e-12 * f.astype(p.dtype)
+        return jax.lax.fori_loop(0, n, body, pos)
+    runj = jax.jit(run)
+    out = runj(pos, box)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = runj(pos, box)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1e3
 
@@ -115,13 +138,17 @@ def main():
         except Exception as e:
             print("  hook[%d] FAILED: %s" % (hi, str(e)[:80]))
 
-    # constraints
+    # constraints (chained: output feeds the next iteration's input)
     pos = state["positions"]
     vel = state["velocities"]
-    print("apply_position_constraints: %.3f ms"
-          % timeit(jax.jit(deps.apply_position_constraints), pos, pos))
-    print("apply_velocity_constraints: %.3f ms"
-          % timeit(jax.jit(deps.apply_velocity_constraints), pos, vel))
+    print("apply_position_constraints (amortized): %.3f ms"
+          % timeit_chain(lambda p, b: (None,
+                         deps.apply_position_constraints(p, p + 1e-6)),
+                         pos, state["box"]))
+    print("apply_velocity_constraints (amortized): %.3f ms"
+          % timeit_chain(lambda p, b: (None,
+                         deps.apply_velocity_constraints(p, vel)),
+                         pos, state["box"]))
 
     # nonbonded with aux (as the step calls it)
     from openmm_tpu.forces.nonbonded import NonbondedForce
@@ -136,8 +163,8 @@ def main():
     def nb_ef(pos, box):
         return m_nb.ef_fn(pos, box, p_nb, gp, aux, want_energy=False)
     try:
-        print("nonbonded ef_fn w/ aux (direct+recip+rest): %.3f ms"
-              % timeit(jax.jit(nb_ef), pos, state["box"]))
+        print("nonbonded ef_fn w/ aux (direct+recip+rest, amortized): %.3f ms"
+              % timeit_chain(nb_ef, pos, state["box"]))
     except Exception as e:
         # the axon remote-compile tunnel caps the HLO payload (HTTP 413);
         # this standalone program inlines every selection-matrix constant
@@ -153,10 +180,11 @@ def main():
 
     def direct(pos, box):
         pos_pad = jnp.broadcast_to(pos[0], (n_pad, 3)).at[:n].set(pos)
-        return pp.eval_tiles(pos_pad, box, st, n, cutoff, pp.MODE_EWALD,
+        e, f = pp.eval_tiles(pos_pad, box, st, n, cutoff, pp.MODE_EWALD,
                              alpha=alpha, want_energy=False)
-    print("pallas direct sweep alone: %.3f ms"
-          % timeit(jax.jit(direct), pos, state["box"]))
+        return e, f[:n]
+    print("pallas direct sweep alone (amortized): %.3f ms"
+          % timeit_chain(direct, pos, state["box"]))
 
     # PME z-slab ef alone
     if "pme" in st:
@@ -177,8 +205,8 @@ def main():
         def zslab(pos, box):
             return pme_zslab.pme_recip_ef(pos, charges, box, grid, 5, alpha,
                                           bx, by, bz, zst, zcfg)
-        print("pme z-slab ef alone (grid %s): %.3f ms"
-              % (grid, timeit(jax.jit(zslab), pos, state["box"])))
+        print("pme z-slab ef alone (grid %s, amortized): %.3f ms"
+              % (grid, timeit_chain(zslab, pos, state["box"])))
 
     # fused bonded lane exactly as the step runs it: value_and_grad over
     # every non-fast module's energy at once
@@ -194,8 +222,8 @@ def main():
 
     def rest_grad(pos, box):
         return jax.value_and_grad(lambda q: pe_rest(q, box))(pos)
-    print("fused bonded/rest value_and_grad: %.3f ms"
-          % timeit(jax.jit(rest_grad), pos, state["box"]))
+    print("fused bonded/rest value_and_grad (amortized): %.3f ms"
+          % timeit_chain(rest_grad, pos, state["box"]))
 
     # bonded + other modules via value_and_grad of energy_fn
     for i, m in enumerate(ctx._modules):
@@ -207,7 +235,7 @@ def main():
             return jax.value_and_grad(
                 lambda q: m.energy_fn(q, box, p, gp))(pos)
         try:
-            t = timeit(jax.jit(eg), pos, state["box"])
+            t = timeit_chain(eg, pos, state["box"])
             print("  module[%d] %-22s grad: %8.3f ms"
                   % (i, m.name or type(m).__name__, t))
         except Exception as e:
