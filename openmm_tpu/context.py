@@ -606,184 +606,11 @@ class Context(object):
     def _step(self, n_steps):
         self._step_with_cache_key(n_steps, extra_key=None)
 
-    def _segmented_eligible(self):
-        """True when multi-step segments can run with the persistent aux as
-        a jit ARGUMENT instead of a loop carry (the fori_loop carry of an
-        ~80 MB neighbor aux costs ~0.6 ms/step of pure copy on the TPU —
-        measured, tools/probe_hooks.py). Requires host-boundary rebuilds to
-        be sound: fixed dt, no position-moving hooks (barostats), and a
-        staleness guard on every cache-carrying module."""
-        if os.environ.get("OMM_TPU_SEGSTEP", "0") != "1":
-            # OFF by default: the premise (an ~0.6 ms/step aux loop-carry
-            # copy, tools/probe_hooks.py) turned out to be a fixed ~50 ms
-            # per-call dispatch overhead divided by the probe's 50-step
-            # loop (tools/probe_dispatch.py: identity carry is 1.03 ms/it
-            # at n=50 but 0.12 ms/it at n=500). Measured DHFR headline is
-            # identical either way (14.41 vs 14.42 ns/day); the monolithic
-            # in-loop-refresh program is simpler and handles barostats.
-            return False
-        if not getattr(self._integrator, "_fixed_dt", False):
-            return False
-        refreshers = [m for m in self._modules if m.refresh_fn is not None]
-        if not refreshers:
-            return False
-        if any(m.stale_guard_fn is None for m in refreshers):
-            return False
-        if any(m.moves_positions for m in self._modules
-               if m.update_state_fn is not None):
-            return False
-        return True
-
-    def _step_segmented(self, n_steps, groups, extra_key):
-        """Run-until-stale stepping.
-
-        The multi-step device program is a while_loop whose CONDITION
-        evaluates the neighbor-list motion predicate on the current
-        positions: the loop exits (without stepping) the moment a rebuild
-        is due, the host rebuilds the persistent aux with one jitted call,
-        and the loop re-enters.  The big aux rides as a jit ARGUMENT — the
-        fori_loop carry of an ~80 MB neighbor aux costs ~0.6 ms/step of
-        pure copy on this hardware (measured, tools/probe_hooks.py), and
-        the in-loop rebuild lax.cond another ~0.2 — while rebuild timing
-        stays EXACTLY the in-loop cond semantics (same predicate, same
-        positions).
-
-        The remaining-step count ALSO lives on device (`_rem` in the
-        carry): the host enqueues batches of (refresh, run) pairs fully
-        asynchronously — a pair that finds `_rem == 0` or a fresh list is
-        a cheap no-op — and blocks on the device only once per batch.
-        Per-segment host syncs through the remote-TPU tunnel cost more
-        than the aux-carry copy they were saving (measured 10.9 vs 14.4
-        ns/day on DHFR); batching hides them behind device execution.
-        Overflow keeps the snapshot-retry semantics of the reference
-        (ContextImpl.cpp:298-307), restarting from the last synced batch
-        boundary (known good — its overflow flag was checked)."""
-        import jax
-        jnp = _jnp()
-        deps_all = self._deps
-
-        cache_key = ("segstep", groups, extra_key)
-        if cache_key not in self._step_fn_cache:
-            deps = self._deps_for_groups(groups)
-            refresh_set = set(deps_all.refresh_hooks)
-            deps.update_hooks = [h for h in deps_all.update_hooks
-                                 if h not in refresh_set]
-            step_fn = self._integrator._make_step_fn(deps)
-            guards = [(i, m.stale_guard_fn)
-                      for i, m in enumerate(self._modules)
-                      if m.refresh_fn is not None]
-            refresh_mods = [(i, m) for i, m in enumerate(self._modules)
-                            if m.refresh_fn is not None]
-
-            def run_until(carry, faux, params_list):
-                def cond_fn(c):
-                    s = {k: v for k, v in c.items() if k != "_rem"}
-                    s["faux"] = faux
-                    stale = jnp.int32(0)
-                    for i, g in guards:
-                        stale = stale | g(s, faux[str(i)])
-                    return (c["_rem"] > 0) & (stale == 0)
-
-                def body_fn(c):
-                    rem = c["_rem"]
-                    s = {k: v for k, v in c.items() if k != "_rem"}
-                    s["faux"] = faux
-                    s = step_fn(s, params_list)
-                    c2 = {k: v for k, v in s.items() if k != "faux"}
-                    c2["_rem"] = rem - 1
-                    return c2
-
-                return jax.lax.while_loop(cond_fn, body_fn, carry)
-
-            def refresh(carry, faux, params_list):
-                state = dict(carry)
-                state["faux"] = faux
-                for i, m in refresh_mods:
-                    aux = state["faux"].get(str(i))
-                    _, new_aux = m.refresh_fn(deps_all, state, params_list,
-                                              aux)
-                    if new_aux is not None:
-                        state = dict(state)
-                        state["faux"] = dict(state["faux"])
-                        state["faux"][str(i)] = new_aux
-                return state["faux"]
-
-            with jax.default_device(self._device):
-                self._step_fn_cache[cache_key] = (
-                    jax.jit(run_until), jax.jit(refresh))
-        run_j, refresh_j = self._step_fn_cache[cache_key]
-
-        debug = os.environ.get("OMM_TPU_SEG_DEBUG", "0") == "1"
-        state = dict(self._state)
-        faux = state.pop("faux")
-        carry = state
-        check_overflow = any(m.needs_aux for m in self._modules)
-        escalate_remaining = 0
-        try:
-            with jax.default_device(self._device):
-                carry = dict(carry)
-                carry["_rem"] = jnp.asarray(n_steps, jnp.int32)
-                remaining = n_steps          # host mirror, synced per batch
-                good_carry, good_faux = carry, faux
-                good_remaining = remaining
-                zero_batches = 0
-                est = max(1, getattr(self, "_seg_est", 25))
-                while remaining > 0:
-                    # enqueue enough (refresh, run) pairs to plausibly
-                    # finish, based on the observed steps-per-segment;
-                    # surplus pairs are device no-ops (_rem==0 / fresh
-                    # list) and all dispatches are async
-                    pairs = max(1, min(-(-remaining // est), 32))
-                    for _ in range(pairs):
-                        faux = refresh_j(carry, faux, self._params)
-                        carry = run_j(carry, faux, self._params)
-                    new_rem = int(carry["_rem"])      # ONE sync per batch
-                    overflowed = check_overflow and any(
-                        "overflow" in a and int(a["overflow"]) > 0
-                        for a in faux.values() if isinstance(a, dict))
-                    if debug:
-                        print("[seg] batch of %d pairs: %d -> %d steps "
-                              "left, est %d" % (pairs, remaining, new_rem,
-                                                est))
-                    if overflowed:
-                        # every run after the overflowed rebuild is
-                        # poisoned: restore the last checked batch
-                        # boundary, escalate capacity (recompiles), re-run
-                        carry, faux = good_carry, good_faux
-                        escalate_remaining = good_remaining
-                        break
-                    done = remaining - new_rem
-                    if done <= 0:
-                        # predicate still firing right after a rebuild can
-                        # only mean the refresh cond and the guard disagree
-                        zero_batches += 1
-                        if zero_batches > 2:
-                            raise OpenMMException(
-                                "run-until-stale made no progress")
-                    else:
-                        zero_batches = 0
-                        est = max(1, done // pairs)
-                        self._seg_est = est
-                    remaining = new_rem
-                    good_carry, good_faux = carry, faux
-                    good_remaining = remaining
-        finally:
-            carry = dict(carry)
-            carry.pop("_rem", None)
-            carry["faux"] = faux
-            self._state = carry
-        if escalate_remaining > 0:
-            self._escalate_neighbor_capacity()
-            return self._step_segmented(escalate_remaining, groups,
-                                        extra_key)
-
     def _step_with_cache_key(self, n_steps, extra_key=None):
         import jax
         if not self._positions_set:
             raise OpenMMException("Particle positions have not been set")
         groups = self._integrator.getIntegrationForceGroups()
-        if self._segmented_eligible():
-            return self._step_segmented(n_steps, groups, extra_key)
 
         def get_fn():
             cache_key = ("step", groups, extra_key)

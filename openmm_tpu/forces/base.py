@@ -67,16 +67,9 @@ class CompiledForce:
     # consume only forces, and the kernel can skip the energy lanes
     ef_takes_want_energy: bool = False
     # True when update_state_fn can move particle positions or the box
-    # (barostats): such modules force the legacy in-loop refresh path,
-    # because host-boundary neighbor rebuilds cannot see the jump
+    # (barostats); refresh hooks run after such modules so rebuilt caches
+    # see the post-move geometry
     moves_positions: bool = False
-    # optional staleness guard for the segmented step path:
-    # (state, aux) -> int32 (1 when the module's persistent cache can no
-    # longer be trusted for the CURRENT positions — e.g. the two largest
-    # displacements since the list build sum past the skin). The Context
-    # accumulates guards inside multi-step segments and redoes any segment
-    # that tripped one (the honest-failure analog of overflow poisoning).
-    stale_guard_fn: Optional[Callable] = None
 
     def _with_init_aux(self, fn):
         self.init_aux = fn

@@ -1043,10 +1043,9 @@ class NonbondedForce(Force):
             return ef
 
         def make_nl_aux_fns(module_params):
-            """(init_aux, refresh_fn, stale_guard) for the persistent
-            tile state."""
+            """(init_aux, refresh_fn) for the persistent tile state."""
             if not use_neighbor or engine_env == "perstep":
-                return None, None, None
+                return None, None
             nl_skin_local = nl_skin
 
             def init_aux(deps):
@@ -1063,8 +1062,7 @@ class NonbondedForce(Force):
                         "ref_pos": jnp.full((n, 3), jnp.inf, dtype),
                         "overflow": jnp.zeros((), jnp.int32)}
 
-            def refresh(deps, state, params_list, aux, margin=0.0,
-                        force=False):
+            def refresh(deps, state, params_list, aux):
                 pos = state["positions"]
                 box = state["box"]
 
@@ -1076,30 +1074,13 @@ class NonbondedForce(Force):
                     return {"st": st, "ref_pos": pos,
                             "overflow": aux["overflow"] + ov}
 
-                if force:
-                    return state, do(aux)
-                # margin > 0 (segmented stepping): reserve displacement
-                # headroom so the list stays valid for the NEXT margin nm of
-                # worst-case motion (rebuilds happen only at segment
-                # boundaries there; the in-segment guard below is the
-                # honesty backstop)
-                skin_eff = max(nl_skin_local - 2.0 * float(margin),
-                               0.2 * nl_skin_local)
                 new_aux = jax.lax.cond(
-                    pairs_mod.needs_rebuild(pos, aux["ref_pos"], skin_eff),
+                    pairs_mod.needs_rebuild(pos, aux["ref_pos"],
+                                            nl_skin_local),
                     do, lambda a: a, aux)
                 return state, new_aux
 
-            def stale_guard(state, aux):
-                # the SAME motion predicate the refresh cond uses: the
-                # run-until-stale loop exits (without stepping) the moment
-                # this fires, and the host rebuild sees identical inputs —
-                # so rebuild timing exactly matches the in-loop cond path
-                return pairs_mod.needs_rebuild(
-                    state["positions"], aux["ref_pos"],
-                    nl_skin_local).astype(jnp.int32)
-
-            return init_aux, refresh, stale_guard
+            return init_aux, refresh
 
         modules = []
         merged_recip = is_ewald_family and self._recip_group in (-1, self._force_group)
@@ -1114,7 +1095,7 @@ class NonbondedForce(Force):
                 energy_fn = direct_energy
             else:
                 energy_fn = direct_energy
-            init_aux, refresh_fn, stale_guard_fn = make_nl_aux_fns(params)
+            init_aux, refresh_fn = make_nl_aux_fns(params)
             modules.append(CompiledForce(
                 name=self.getName(), force_group=self.getForceGroup(),
                 params=params, energy_fn=energy_fn, uses_pbc=periodic,
@@ -1124,8 +1105,7 @@ class NonbondedForce(Force):
                                      and include_direct),
                 ef_takes_want_energy=use_neighbor,
                 needs_aux=init_aux is not None,
-                init_aux=init_aux, refresh_fn=refresh_fn,
-                stale_guard_fn=stale_guard_fn))
+                init_aux=init_aux, refresh_fn=refresh_fn))
         if is_ewald_family and not merged_recip:
             grp = self._recip_group
             modules.append(CompiledForce(

@@ -88,12 +88,6 @@ def twosum(hi, small):
 class Integrator(object):
     """Base integrator (openmmapi/include/openmm/Integrator.h)."""
 
-    # True when the in-step time increment never exceeds the configured
-    # stepSize (adaptive integrators override): the segmented stepping path
-    # uses stepSize to bound per-segment motion when sizing the
-    # neighbor-rebuild headroom
-    _fixed_dt = True
-
     def __init__(self, stepSize):
         self._step_size = float(u.strip(stepSize, u.picosecond))
         self._constraint_tol = 1e-5

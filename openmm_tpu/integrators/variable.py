@@ -28,7 +28,6 @@ def _select_step_size(forces, inv_m, old_dt, error_tol, max_dt):
 
 
 class VariableVerletIntegrator(Integrator):
-    _fixed_dt = False
     def __init__(self, errorTol):
         super().__init__(0.0)
         self._error_tol = float(errorTol)
@@ -88,7 +87,6 @@ class VariableVerletIntegrator(Integrator):
 
 
 class VariableLangevinIntegrator(_StochasticMixin, Integrator):
-    _fixed_dt = False
     def __init__(self, temperature, frictionCoeff, errorTol):
         super().__init__(0.0)
         self._temperature = float(u.strip(temperature, u.kelvin))

@@ -254,7 +254,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     # rows and columns share these planes, so each carries HALF of every
     # pair prefactor: sqrt(k_e)*q, sigma/2, 2*sqrt(eps)
     feat = feat.at[:nb, 3].set(
-        (np.sqrt(ONE_4PI_EPS0) * q_s).reshape(nb, block))
+        (jnp.float32(np.sqrt(ONE_4PI_EPS0)) * q_s).reshape(nb, block))
     feat = feat.at[:nb, 4].set(sg_s.reshape(nb, block))
     feat = feat.at[:nb, 5].set(ep_s.reshape(nb, block))
     # dummy block far outside any box

@@ -62,6 +62,9 @@ def main():
           "halves=%+.3e/%+.3e kT/dof/ns"
           % (seed, plat, os.environ.get("VEL_COMP", "1"), waters, meas_ps,
              slope / (dof * kT), s1, s2))
+    if os.environ.get("E_OUT"):
+        np.savetxt(os.environ["E_OUT"],
+                   np.stack([np.asarray(ts), np.asarray(es)], axis=1))
 
 
 if __name__ == "__main__":
