@@ -762,7 +762,7 @@ class NonbondedForce(Force):
             # parameter offsets (the rows engine re-sorts them every step)
             pallas_ok = (cfg.platform_name == "TPU"
                          and dtype == jnp.float32
-                         and not use_switch and not is_ljpme
+                         and not is_ljpme
                          and particle_offs is None)
             # build-time candidate image shifts replace the per-pair minimum
             # image when the box is comfortably larger than (cutoff + skin +
@@ -960,7 +960,8 @@ class NonbondedForce(Force):
                          else 0.0),
                     crf=(crf if (use_cutoff and not is_ewald_family)
                          else 0.0), block=nl_block,
-                    want_energy=want_energy, mesh=cfg.mesh)
+                    want_energy=want_energy, mesh=cfg.mesh,
+                    switch_dist=(rs if use_switch else -1.0))
                 return e_d.astype(accum), f_pad[:n]
             charge, sigma, eps = effective_particle_params(p, gp)
             e_d, f_pad = pairs_mod.rows_ef_from_state(

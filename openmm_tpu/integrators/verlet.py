@@ -41,8 +41,14 @@ class VerletIntegrator(Integrator):
             else:
                 # compensated half-kick: the rounding residual of the f32
                 # velocity update rides in vel_lo; the step delta carries
-                # both planes so positions see the full-precision velocity
-                vnew, vlo_new = twosum(vel, kick + vlo)
+                # both planes so positions see the full-precision velocity.
+                # The inner kick+vlo sum must be a twosum as well: kick is
+                # |v|-scale for hydrogens, so its addition rounding is the
+                # SAME eps*|v| magnitude the outer compensation exists to
+                # capture (dropping it measured as systematic NVE cooling)
+                s1, e1 = twosum(kick, vlo)
+                vnew, e2 = twosum(vel, s1)
+                vlo_new = e1 + e2
                 delta_lo = jnp.where(moving, vlo_new * dt, 0.0)
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)

@@ -334,7 +334,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                crf=0.0, block=64, want_energy=True, interpret=False,
-               mesh=None):
+               mesh=None, switch_dist=-1.0):
     """Direct-space (energy, forces) from the persistent tile state.
 
     Per step: permute positions into the persisted sorted frame (one
@@ -400,15 +400,20 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     pslab = pslab.transpose(0, 2, 1, 3)
     pslab = pslab.reshape(nb, 3, max_cols * BRICK)
 
+    use_switch = switch_dist is not None and switch_dist > 0.0
+    inv_sw_width = 1.0 / (cutoff - switch_dist) if use_switch else 0.0
     consts = jnp.array([[alpha, cutoff * cutoff, krf, crf,
                          boxf[0, 0], boxf[1, 0], boxf[1, 1],
                          boxf[2, 0], boxf[2, 1], boxf[2, 2],
                          1.0 / boxf[0, 0], 1.0 / boxf[1, 1],
-                         1.0 / boxf[2, 2], 0.0, 0.0, 0.0]], f32)
+                         1.0 / boxf[2, 2],
+                         (switch_dist if use_switch else 0.0),
+                         inv_sw_width, 0.0]], f32)
 
     kernel = functools.partial(_kernel_body,
                                mode=int(mode), kc=KQ, b=block,
-                               want_energy=bool(want_energy))
+                               want_energy=bool(want_energy),
+                               use_switch=bool(use_switch))
     grid = (nb, max_cols // KQ)
 
     cw = KQ * BRICK
@@ -510,7 +515,7 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 def _kernel_body(count_ref, exclcnt_ref, imgcnt_ref, consts_ref, lanebit_ref,
                  row_ref, pslab_ref, sslab_ref, bits_ref, out_ref, *, mode,
-                 kc, b, want_energy=True):
+                 kc, b, want_energy=True, use_switch=False):
     import jax.experimental.pallas as pl
 
     ri = pl.program_id(0)
@@ -533,7 +538,7 @@ def _kernel_body(count_ref, exclcnt_ref, imgcnt_ref, consts_ref, lanebit_ref,
         _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
                       sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
                       kc=kc, b=b, want_energy=want_energy, use_mask=True,
-                      use_image=True)
+                      use_image=True, use_switch=use_switch)
 
     @pl.when(jnp.logical_and(live, jnp.logical_and(
             jnp.logical_not(masked), imaged)))
@@ -541,19 +546,20 @@ def _kernel_body(count_ref, exclcnt_ref, imgcnt_ref, consts_ref, lanebit_ref,
         _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
                       sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
                       kc=kc, b=b, want_energy=want_energy, use_mask=False,
-                      use_image=True)
+                      use_image=True, use_switch=use_switch)
 
     @pl.when(jnp.logical_and(live, jnp.logical_not(imaged)))
     def _():
         _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
                       sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
                       kc=kc, b=b, want_energy=want_energy, use_mask=False,
-                      use_image=False)
+                      use_image=False, use_switch=use_switch)
 
 
 def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
                   bits_ref, out_ref, ri, ci, *, mode, kc, b,
-                  want_energy=True, use_mask=True, use_image=True):
+                  want_energy=True, use_mask=True, use_image=True,
+                  use_switch=False):
     import jax.experimental.pallas as pl  # noqa: F401
 
     alpha = consts_ref[0, 0]
@@ -637,6 +643,21 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
     s6 = s2 * s2 * s2
     es6 = eps4 * s6
     de_lj = -3.0 * es6 * (2.0 * s6 - 1.0) * inv_r2
+    e_lj = es6 * (s6 - 1.0) if (use_switch or want_energy) else None
+    if use_switch:
+        # LJ switching function (NonbondedForceImpl semantics): S(r) on
+        # [rs, rc], energy e*S and dE/dr2 = de*S + e*dS/dr2
+        rs_sw = consts_ref[0, 13]
+        inv_w_sw = consts_ref[0, 14]
+        r_sw = r2s * inv_r
+        t_sw = jnp.clip((r_sw - rs_sw) * inv_w_sw,
+                        jnp.float32(0.0), jnp.float32(1.0))
+        t2_sw = t_sw * t_sw
+        sw = 1.0 - t2_sw * t_sw * (10.0 - 15.0 * t_sw + 6.0 * t2_sw)
+        one_m = 1.0 - t_sw
+        dsw_dr2 = (-30.0 * t2_sw * one_m * one_m * inv_w_sw) * (0.5 * inv_r)
+        de_lj = de_lj * sw + e_lj * dsw_dr2
+        e_lj = e_lj * sw
 
     qq = rvec(3) * cstat[0:1, :]
     if mode == MODE_EWALD:
@@ -658,7 +679,6 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
     fy = -2.0 * jnp.sum(dedr2 * dy, axis=1).reshape(1, b)
     fz = -2.0 * jnp.sum(dedr2 * dz, axis=1).reshape(1, b)
     if want_energy:
-        e_lj = es6 * (s6 - 1.0)
         if mode == MODE_EWALD:
             e_c = qq * inv_r * erfc_ar
         elif mode == MODE_RF:
