@@ -93,9 +93,41 @@ def main():
         return pp.eval_tiles(p, box, st, n, cutoff, mode, alpha=2.92,
                              krf=0.6, crf=1.2, want_energy=want_e)
     t = timeit(jax.jit(sweep), pos)
-    pairs = float(jnp.sum(st["count"].astype(jnp.float64))) * block * block
+    slots = float(jnp.sum(st["count"].astype(jnp.float64))) * 16 * block
     print("sweep(mode=%s, want_e=%s): %.3f ms  (%.1f Gpair-slots/s)"
-          % (os.environ.get("MODE", "ewald"), want_e, t, pairs / t / 1e6))
+          % (os.environ.get("MODE", "ewald"), want_e, t, slots / t / 1e6))
+
+    # XLA prologue alone (sorted-frame row gather + pslab brick compaction):
+    # everything eval_tiles does BEFORE pallas_call
+    code = st["code"]
+    order = st["order"]
+    max_cols = code.shape[1]
+    nq = nb * (block // pp.BRICK)
+
+    def prologue(p):
+        boxf = box
+        rox = (st["rWa"] * boxf[0, 0] + st["rWb"] * boxf[1, 0]
+               + st["rWc"] * boxf[2, 0])
+        roy = st["rWb"] * boxf[1, 1] + st["rWc"] * boxf[2, 1]
+        roz = st["rWc"] * boxf[2, 2]
+        ps = jnp.take(p, order.reshape(-1), axis=0).reshape(nb, block, 3)
+        pxb = ps[:, :, 0] - rox
+        pyb = ps[:, :, 1] - roy
+        pzb = ps[:, :, 2] - roz
+        pos_q = jnp.stack([pxb, pyb, pzb], axis=1)
+        pos_q = pos_q.reshape(nb, 3, block // pp.BRICK, pp.BRICK)
+        pos_q = pos_q.transpose(0, 2, 1, 3).reshape(nq, 3 * pp.BRICK)
+        pos_q = jnp.concatenate(
+            [pos_q, jnp.full((1, 3 * pp.BRICK), 1.0e7, jnp.float32)], axis=0)
+        pslab = jnp.take(pos_q, code.reshape(-1), axis=0)
+        pslab = pslab.reshape(nb, max_cols, 3, pp.BRICK)
+        if "shift" in st:
+            pslab = pslab + st["shift"][:, :, :, None]
+        pslab = pslab.transpose(0, 2, 1, 3)
+        return pslab.reshape(nb, 3, max_cols * pp.BRICK)
+    tp = timeit(jax.jit(prologue), pos)
+    print("prologue alone (row gather + pslab compaction, %d brick rows): "
+          "%.3f ms -> kernel ~%.3f ms" % (nb * max_cols, tp, t - tp))
 
 
 if __name__ == "__main__":
