@@ -888,9 +888,15 @@ class NonbondedForce(Force):
             return e
 
         # fused Pallas spread (ops/pallas_pme.py) on the TPU f32 path; the
-        # chunked-einsum spread everywhere else
+        # chunked-einsum spread everywhere else. OFF by default: every
+        # caller of reciprocal_energy outside the z-slab fast path
+        # differentiates it (rows-engine forces, the minimizer, parameter
+        # derivatives), and the JVP of the fused spread kernel blows the
+        # 16 MB scoped-VMEM stack at ~5k atoms (measured: f32[96,9216]
+        # 27.3 MB scoped alloc at 1728 waters). The z-slab engine, which
+        # owns the TPU hot path, never calls this.
         pallas_spread = (cfg.platform_name == "TPU" and dtype == jnp.float32
-                         and os.environ.get("OMM_TPU_PME_PALLAS", "1") == "1")
+                         and os.environ.get("OMM_TPU_PME_PALLAS", "0") == "1")
 
         def reciprocal_energy(pos, box, p, gp):
             charge, sigma, eps = effective_particle_params(p, gp)

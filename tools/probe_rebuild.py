@@ -19,13 +19,23 @@ from openmm_tpu import unit as u
 from openmm_tpu import app
 
 
+_BASE = None
+
+
 def timeit(fn, *args, n=10, warmup=2):
+    """Single-dispatch timing minus the measured trivial-jit baseline."""
+    global _BASE
+    if _BASE is None:
+        _BASE = 0.0
+        triv = jax.jit(lambda x: x + 1.0)
+        _BASE = timeit(triv, jnp.zeros(8, jnp.float32), n=20)
+        print("dispatch baseline: %.2f ms" % _BASE)
     for _ in range(warmup):
         r = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         r = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / n * 1e3
+    return (time.perf_counter() - t0) / n * 1e3 - _BASE
 
 
 def main():
