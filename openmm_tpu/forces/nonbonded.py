@@ -757,6 +757,27 @@ class NonbondedForce(Force):
                                               "1.25")) * nl_scale
             self._nl_col_cap = min(
                 n_pad, int(-(-(rho * vol_dil * col_margin) // 128) * 128))
+            # Pallas-engine tuning (measured, DHFR-scale probe 2026-08-19):
+            # (a) a 0.6x sort cell tightens brick bboxes (snake order over
+            # finer cells: candidate count 305 -> 225 bricks/row, kernel
+            # 2.8 -> 2.2 ms); (b) a DIRECT density-derived brick budget
+            # replaces the block-budget x4 x0.8 subset bound, which
+            # over-provisioned ~2x (dead candidate chunks still cost
+            # prologue gather + pipeline DMA: sweep 4.5 -> 3.6 ms).
+            # Calibration: measured max candidate count fits
+            # (nq/vol)(4/3)pi (reach + 0.95*s64 + 0.85*s16)^3 at SCF=0.6;
+            # 1.18x variance margin on top. Overflow poisons + escalates
+            # via nl_scale, never silent.
+            scf = float(os.environ.get("OMM_TPU_NL_SCF", "0.6"))
+            self._nl_sort_cell_pallas = scf * block_side
+            s16 = (16.0 * vol / n) ** (1.0 / 3.0)
+            r_q = (cutoff + nl_skin + 0.95 * block_side + 0.85 * s16)
+            nq_bricks = n_pad // 16
+            bq_margin = float(os.environ.get("OMM_TPU_NL_BRICK_MARGIN",
+                                             "1.18")) * nl_scale
+            self._nl_max_bricks = min(nq_bricks, int(
+                (nq_bricks / vol) * (4.0 / 3.0) * math.pi * r_q ** 3
+                * bq_margin) + 8)
             # the Pallas engine bakes parameter planes at list build, so it
             # requires parameters that can't drift mid-trajectory via global
             # parameter offsets (the rows engine re-sorts them every step)
@@ -936,9 +957,10 @@ class NonbondedForce(Force):
                 st = pp.build_tile_state(
                     pos_pad, box, pa["charge"], pa["sigma"], pa["epsilon"],
                     exclusions, n, cutoff + nl_skin, nl_max_cols_s,
-                    block=nl_block, sort_cell=self._nl_sort_cell,
+                    block=nl_block, sort_cell=self._nl_sort_cell_pallas,
                     col_cap=self._nl_col_cap,
-                    use_shift=self._nl_use_shift)
+                    use_shift=self._nl_use_shift,
+                    max_bricks=self._nl_max_bricks)
                 if use_zslab:
                     from ..ops import pme_zslab
                     zst = pme_zslab.build_z_state(pos, box, charge,

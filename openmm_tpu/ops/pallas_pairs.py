@@ -76,21 +76,34 @@ def _erfc_poly_fast(x, exp_x2):
 
 def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
                      reach, max_cols, block=64, sort_cell=None,
-                     col_cap=None, use_shift=False):
+                     col_cap=None, use_shift=False, max_bricks=None,
+                     kq=None):
     """Persistent candidate state for the tile kernel.
 
     pos: (n_pad, 3) RAW (unwrapped) positions; charge/sigma/epsilon:
     (n_pad,) padded parameters; exclusions: (n_pad, E) int32 original-id
     table or None; reach = cutoff + skin. col_cap is accepted for API
     compatibility and ignored (candidates are brick-granular; the
-    budget is derived from max_cols below).
+    budget is derived from max_cols below, or passed directly as
+    max_bricks). block is the ROW granularity (16/32/64 atoms): smaller
+    rows trade more grid programs for geometrically tighter candidate
+    sets (a 16-atom row bbox culls ~3x more volume than a 64-atom one
+    at liquid density — measured on the DHFR-scale probe). kq sets the
+    kernel chunk width in bricks (default KQ); smaller chunks keep the
+    [exclusion | needs-image | plain] prefix classes effective when the
+    per-row candidate count is small.
     Returns a dict of device arrays (all static shapes).
     """
     from . import geometry as geom
     from .pairs import spatial_sort_keys
 
+    if kq is None:
+        kq = KQ
+    # kq must be a multiple of 16: the exclusion-mask build packs words in
+    # 16-candidate chunks and the kernel layout slices (excl window) // kq
+    assert kq % 16 == 0
     n_pad = pos.shape[0]
-    assert n_pad % block == 0 and block == 64
+    assert n_pad % block == 0 and block in (16, 32, 64)
     nb = n_pad // block
     f32 = jnp.float32
     max_cols = min(max_cols, nb)
@@ -152,17 +165,23 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     close = jnp.sum(gap * gap, axis=-1) < reach * reach    # (nb, nq)
 
     # candidate budget in bricks: brick close-sets are a subset of the
-    # dilated block close-set x4; the measured ratio at liquid density is
-    # ~0.55, so 0.8 is a safe cap (overflow poisons + grows, never silent)
-    factor = 0.8
-    max_cols_q = min(nq, int(max_cols * 4 * factor) + 8)
-    if max_cols >= nb:
+    # dilated block close-set x(block/BRICK); the measured subset ratio at
+    # liquid density is ~0.55 for 64-atom rows, so 0.8 is a safe cap for
+    # those; finer rows leave less subset slack (overflow poisons + grows,
+    # never silent)
+    if max_bricks is not None:
+        max_cols_q = min(nq, int(max_bricks))
+    else:
+        bpb = block // BRICK
+        factor = {4: 0.8, 2: 0.9, 1: 1.0}[bpb]
+        max_cols_q = min(nq, int(max_cols * bpb * factor) + 8)
+    if max_cols >= nb and max_bricks is None:
         # the block-level budget saturates the grid (small box: every block
         # is a candidate) — the subset factor would under-budget the brick
         # conversion AND capacity escalation cannot grow past the clamp, so
         # budget every brick (nq is small exactly when this branch fires)
         max_cols_q = nq
-    mc_round = ((max_cols_q + KQ - 1) // KQ) * KQ
+    mc_round = ((max_cols_q + kq - 1) // kq) * kq
     col_order = jnp.argsort(~close, axis=1, stable=True)
     cand = col_order[:, :max_cols_q].astype(jnp.int32)     # (nb, mcq)
     cand_valid = jnp.take_along_axis(close, cand, axis=1)
@@ -292,17 +311,17 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
     # ordered exclusion-first, and only chunks below excl_count unpack
     # masks); a full-width table would dominate build + aux traffic. Rows
     # whose exclusion candidates exceed the capacity poison via overflow.
-    exc_cap = min(max_cols, 2 * KQ)
+    exc_cap = min(max_cols, 2 * kq)
     overflow = overflow + jnp.sum(
         jnp.maximum(excl_count - exc_cap, 0)).astype(jnp.int32)
     chunks = []
     step = 16
     for c0 in range(0, exc_cap, step):
         chunks.append(mask_chunk(code[:, c0:c0 + step]))
-    words = jnp.concatenate(chunks, axis=1)                # (nb, cap, 64)
-    # kernel layout: (nb, chunk, 64 row lanes, KQ bricks)
-    excl_bits = words.reshape(nb, exc_cap // KQ, KQ, block)
-    excl_bits = excl_bits.transpose(0, 1, 3, 2)            # (nb, ch, 64, KQ)
+    words = jnp.concatenate(chunks, axis=1)                # (nb, cap, blk)
+    # kernel layout: (nb, chunk, block row lanes, kq bricks)
+    excl_bits = words.reshape(nb, exc_cap // kq, kq, block)
+    excl_bits = excl_bits.transpose(0, 1, 3, 2)            # (nb, ch, blk, kq)
 
     # compacted STATIC candidate slab (params don't move): one build-time
     # brick-row gather -> (nb, 3, mc*16) contiguous
@@ -352,12 +371,14 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
 
     feat = st["feat"]
     code = st["code"]
-    excl_bits = st["excl_bits"]                 # (nb, ch, 64, KQ)
+    excl_bits = st["excl_bits"]                 # (nb, ch, block, kq)
     exc_chunks = excl_bits.shape[1]
+    kq = excl_bits.shape[3]
     sslab = st["sslab"]
     order = st["order"]
     inv_order = st["inv_order"]
     nb = feat.shape[0] - 1
+    block = feat.shape[2]                       # row granularity (16/32/64)
     n_pad = nb * block
     max_cols = code.shape[1]
     f32 = jnp.float32
@@ -411,12 +432,12 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                          inv_sw_width, 0.0]], f32)
 
     kernel = functools.partial(_kernel_body,
-                               mode=int(mode), kc=KQ, b=block,
+                               mode=int(mode), kc=kq, b=block,
                                want_energy=bool(want_energy),
                                use_switch=bool(use_switch))
-    grid = (nb, max_cols // KQ)
+    grid = (nb, max_cols // kq)
 
-    cw = KQ * BRICK
+    cw = kq * BRICK
     # per-lane reciprocal bit weights for the float bitmask test (kernels
     # cannot capture array constants; rows identical, read as (1, cw));
     # each brick spans 16 lanes, bit index = lane % 16
@@ -451,7 +472,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                     # bits exist only for the exclusion window; chunks past
                     # it never unpack masks, so clamp the index (re-fetch of
                     # an unchanged block is elided by the pipeline)
-                    pl.BlockSpec((1, 1, block, KQ),
+                    pl.BlockSpec((1, 1, block, kq),
                                  lambda r, c, cnt, ecnt, icnt,
                                  _m=exc_chunks - 1:
                                      (r, jnp.minimum(c, _m), r * 0, r * 0)),
@@ -502,11 +523,13 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
 def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
                      cutoff, max_cols, mode, alpha=0.0, krf=0.0, crf=0.0,
                      block=64, sort_cell=None, col_cap=None,
-                     interpret=False, use_shift=False, mesh=None):
+                     interpret=False, use_shift=False, mesh=None,
+                     max_bricks=None, kq=None):
     """One-shot build + sweep (energy, forces, overflow)."""
     st = build_tile_state(pos, box, charge, sigma, epsilon, exclusions,
                           n_real, cutoff, max_cols, block=block,
-                          sort_cell=sort_cell, use_shift=use_shift)
+                          sort_cell=sort_cell, use_shift=use_shift,
+                          max_bricks=max_bricks, kq=kq)
     e, f = eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=alpha,
                       krf=krf, crf=crf, block=block, interpret=interpret,
                       mesh=mesh)

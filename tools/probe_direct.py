@@ -38,11 +38,12 @@ def main():
     n = int(os.environ.get("N", "23558"))
     rho = 97.8
     box_l = (n / rho) ** (1.0 / 3.0)
-    cutoff, skin = 0.9, 0.1
+    cutoff, skin = 0.9, float(os.environ.get("SKIN", "0.1"))
     rng = np.random.RandomState(0)
     pos_np = rng.uniform(0, box_l, (n, 3))
-    block = 64
-    n_pad = pairs_mod.pad_to_block(n, block)
+    block = int(os.environ.get("ROWS", "64"))
+    kqc = int(os.environ["KQC"]) if "KQC" in os.environ else None
+    n_pad = pairs_mod.pad_to_block(n, 64)
     pos = jnp.asarray(
         np.concatenate([pos_np, np.tile(pos_np[:1], (n_pad - n, 1))]),
         jnp.float32)
@@ -62,19 +63,32 @@ def main():
     nb = n_pad // block
     vol = box_l ** 3
     block_side = (block * vol / n) ** (1.0 / 3.0)
-    # SCF: spatial sort cell factor (sort_cell = SCF * block_side) — finer
+    side64 = (64 * vol / n) ** (1.0 / 3.0)
+    # SCF: spatial sort cell factor (sort_cell = SCF * side64) — finer
     # sort cells tighten BRICK bboxes (less candidate overcount)
     scf = float(os.environ.get("SCF", "1.0"))
     reach = cutoff + skin + 1.85 * block_side
     neigh = (nb / vol) * (4.0 / 3.0) * np.pi * reach ** 3
     max_cols = min(nb, int(neigh * 1.6) + 4)
-    print("n=%d nb=%d max_cols=%d box=%.2f" % (n, nb, max_cols, box_l))
+    max_bricks = None
+    if block != 64 or "MB" in os.environ:
+        # direct brick budget: density x sphere-dilated (row + brick) bbox,
+        # snake-quality factor on the halves, 1.35x variance margin
+        side_q = (pp.BRICK * vol / n) ** (1.0 / 3.0)
+        eff = cutoff + skin + 0.925 * 1.4 * (block_side + side_q)
+        nq = n_pad // pp.BRICK
+        max_bricks = min(nq, int((nq / vol) * (4.0 / 3.0) * np.pi
+                                 * eff ** 3 * 1.35) + 8)
+        if "MB" in os.environ:
+            max_bricks = int(os.environ["MB"])
+    print("n=%d nb=%d max_cols=%s max_bricks=%s box=%.2f"
+          % (n, nb, max_cols, max_bricks, box_l))
 
     use_shift = os.environ.get("SHIFT", "1") == "1"
     build = jax.jit(lambda p: pp.build_tile_state(
         p, box, charge, sigma, epsilon, exclusions, n, cutoff + skin,
-        max_cols, block=block, sort_cell=scf * block_side,
-        use_shift=use_shift))
+        max_cols, block=block, sort_cell=scf * side64,
+        use_shift=use_shift, max_bricks=max_bricks, kq=kqc))
     st = build(pos)
     jax.block_until_ready(st["count"])
     print("build: %.3f ms  count mean=%.1f max=%d excl mean=%.1f  overflow=%d"
