@@ -68,7 +68,8 @@ def dimer():
 def test_water_dimer_energy(dimer):
     ctx, hippo = dimer
     e = ctx.getState(getEnergy=True).getPotentialEnergy()._value
-    assert abs(e - (-18.393623712669680)) < 2e-3 * 18.4, e
+    # measured slack 1.9e-7 abs (2026-08-19) -> 1e-5-class gate
+    assert abs(e - (-18.393623712669680)) < 1e-5 * 18.4, e
 
 
 def test_water_dimer_forces(dimer):
@@ -83,7 +84,8 @@ def test_water_dimer_forces(dimer):
     f = np.asarray(ctx.getState(getForces=True)
                    .getForces(asNumpy=True)._value, np.float64)
     scale = np.abs(expected).max()
-    assert np.abs(f - expected).max() < 5e-3 * scale, \
+    # measured slack 1.3e-8 rel (2026-08-19)
+    assert np.abs(f - expected).max() < 1e-5 * scale, \
         np.abs(f - expected).max()
 
 

@@ -23,8 +23,10 @@ WARM = int(os.environ.get("BENCH_WARMUP", "60"))
 
 
 def bench_context(ctx, integ, tag, out):
+    print("start", tag, flush=True)
     ctx.applyConstraints()
     ctx.setVelocitiesToTemperature(300.0, randomSeed=1)
+    print("  warming", flush=True)
     integ.step(WARM)
     ctx.getState(getEnergy=True)
     t0 = time.time()
