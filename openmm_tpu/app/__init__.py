@@ -4,7 +4,8 @@ from .element import Element
 from .topology import Topology, Chain, Residue, Atom
 from .pdbfile import PDBFile
 from .forcefield import ForceField, HBonds, AllBonds, HAngles, NoCutoff, \
-    CutoffNonPeriodic, CutoffPeriodic, Ewald, PME, LJPME
+    CutoffNonPeriodic, CutoffPeriodic, Ewald, PME, LJPME, \
+    HCT, OBC1, OBC2, GBn, GBn2
 from .simulation import Simulation
 from .statedatareporter import StateDataReporter
 from .dcdreporter import DCDReporter, DCDFile
@@ -32,4 +33,5 @@ __all__ = [
     "GromacsTopFile", "PDBxFile", "PDBxReporter", "DesmondDMSFile",
     "HBonds", "AllBonds", "HAngles", "NoCutoff", "CutoffNonPeriodic",
     "CutoffPeriodic", "Ewald", "PME", "LJPME",
+    "HCT", "OBC1", "OBC2", "GBn", "GBn2",
 ]

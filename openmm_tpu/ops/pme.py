@@ -491,9 +491,15 @@ def ewald_reciprocal_energy(pos, charges, box, kmax, alpha, accum_dtype):
     M = np.stack(np.meshgrid(mx, my, mz, indexing="ij"), axis=-1).reshape(-1, 3)
     M = M[np.any(M != 0, axis=1)]
     M = jnp.asarray(M, dtype=accum_dtype)
-    kvecs = 2.0 * jnp.pi * (M @ box_inv.T)                   # (K,3): rows Binv@m
+    # both products MUST pin HIGHEST: on TPU a plain @ lands on the MXU in
+    # bf16, truncating positions to ~8 mantissa bits — phases k.r (up to
+    # ~10^2 rad) then carry O(1) errors and the k-sum lands % off (caught
+    # by tests_tpu test_pme_vs_ewald_energy_on_device: -3000.6 vs -3043.5)
+    kvecs = 2.0 * jnp.pi * jnp.matmul(
+        M, box_inv.T, precision=jax.lax.Precision.HIGHEST)   # (K,3)
     k2 = jnp.sum(kvecs * kvecs, axis=-1)
-    phase = pos.astype(accum_dtype) @ kvecs.T                # (N,K)
+    phase = jnp.matmul(pos.astype(accum_dtype), kvecs.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (N,K)
     qc = charges.astype(accum_dtype)
     s_re = jnp.sum(qc[:, None] * jnp.cos(phase), axis=0)
     s_im = jnp.sum(qc[:, None] * jnp.sin(phase), axis=0)
