@@ -703,6 +703,18 @@ class NonbondedForce(Force):
         use_neighbor = (use_cutoff and cfg.use_neighbor_list and n >= 1024
                         and periodic)
         nl_block = 64
+        # Row granularity of the PALLAS tile engine only (padding and the
+        # XLA rows engine stay at 64). Finer rows cull candidates
+        # geometrically tighter (16-atom bboxes reach ~3x fewer bricks than
+        # 64-atom ones at liquid density); the kernel groups 64//pl_row
+        # consecutive rows per program so per-program fixed costs stay
+        # amortized (see pallas_pairs._kernel_body).
+        pl_row = int(os.environ.get("OMM_TPU_NL_ROW", "16"))
+        assert pl_row in (16, 32, 64)
+        pl_rows_per_program = 64 // pl_row
+        # kernel chunk width scales with the row size so the exclusion /
+        # image prefix classes keep their resolution on smaller rows
+        pl_kq = {64: 128, 32: 64, 16: 32}[pl_row]
         # Direct-space tile engine: 'pallas' (hand-scheduled TPU kernel) or
         # 'rows' (XLA tile sweep). Both reuse a PERSISTENT candidate state
         # (spatial sort + block culling at cutoff + skin) carried in the
@@ -771,7 +783,13 @@ class NonbondedForce(Force):
             scf = float(os.environ.get("OMM_TPU_NL_SCF", "0.6"))
             self._nl_sort_cell_pallas = scf * block_side
             s16 = (16.0 * vol / n) ** (1.0 / 3.0)
-            r_q = (cutoff + nl_skin + 0.95 * block_side + 0.85 * s16)
+            # row-bbox reach scales with the pallas ROW granularity: 64-atom
+            # rows calibrated at 0.95x the row cube side (measured, SURVEY
+            # §10); 16-atom rows are brick-sized, so both extents use the
+            # brick calibration. Overflow poisons + escalates, never silent.
+            s_row = (pl_row * vol / n) ** (1.0 / 3.0)
+            c_row = {64: 0.95, 32: 0.90, 16: 0.85}[pl_row]
+            r_q = (cutoff + nl_skin + c_row * s_row + 0.85 * s16)
             nq_bricks = n_pad // 16
             bq_margin = float(os.environ.get("OMM_TPU_NL_BRICK_MARGIN",
                                              "1.18")) * nl_scale
@@ -957,10 +975,10 @@ class NonbondedForce(Force):
                 st = pp.build_tile_state(
                     pos_pad, box, pa["charge"], pa["sigma"], pa["epsilon"],
                     exclusions, n, cutoff + nl_skin, nl_max_cols_s,
-                    block=nl_block, sort_cell=self._nl_sort_cell_pallas,
+                    block=pl_row, sort_cell=self._nl_sort_cell_pallas,
                     col_cap=self._nl_col_cap,
                     use_shift=self._nl_use_shift,
-                    max_bricks=self._nl_max_bricks)
+                    max_bricks=self._nl_max_bricks, kq=pl_kq)
                 if use_zslab:
                     from ..ops import pme_zslab
                     zst = pme_zslab.build_z_state(pos, box, charge,
@@ -987,9 +1005,10 @@ class NonbondedForce(Force):
                     krf=(krf if (use_cutoff and not is_ewald_family)
                          else 0.0),
                     crf=(crf if (use_cutoff and not is_ewald_family)
-                         else 0.0), block=nl_block,
+                         else 0.0), block=pl_row,
                     want_energy=want_energy, mesh=cfg.mesh,
-                    switch_dist=(rs if use_switch else -1.0))
+                    switch_dist=(rs if use_switch else -1.0),
+                    rows_per_program=pl_rows_per_program)
                 return e_d.astype(accum), f_pad[:n]
             charge, sigma, eps = effective_particle_params(p, gp)
             e_d, f_pad = pairs_mod.rows_ef_from_state(

@@ -35,6 +35,9 @@ class StepDeps:
     energy_fn: Callable = None
     # constraints (or identity passthroughs)
     apply_position_constraints: Callable = None   # (ref, new) -> constrained
+    # (ref, new) -> (constrained, corr) with constrained == new + corr and
+    # corr exactly zero on unconstrained atoms (None if no constraints)
+    apply_position_constraints_corr: Callable = None
     apply_velocity_constraints: Callable = None   # (pos, vel) -> constrained
     compute_vsites: Callable = None               # pos -> pos
     # updateContextState hooks: [(hook, params_index)]; cache refreshers
@@ -83,6 +86,24 @@ def twosum(hi, small):
     bp = s - hi
     err = (hi - (s - bp)) + (small - bp)
     return s, err
+
+
+def twoprod(a, b):
+    """(p, err): p = fl(a * b), err the exact rounding residual, via the
+    Veltkamp split + Dekker product (no FMA on the TPU VPU).  The split
+    constant is 2^ceil(prec/2)+1 for the operand dtype (4097 for f32)."""
+    import numpy as np
+    p = a * b
+    prec = np.finfo(np.dtype(jnp.result_type(a, b))).nmant + 1
+    split = jnp.asarray(float(2 ** ((prec + 1) // 2) + 1), p.dtype)
+    ca = split * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = split * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
 
 
 class Integrator(object):

@@ -159,8 +159,12 @@ class DrudeLangevinIntegrator(_DrudeBase):
             v_full = jnp.where(moving, v_full, vel)
             delta = v_full * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            v_full = jnp.where(moving, (new_pos - pos) / dt, vel)
+            # constraint-correction-only velocity recovery (see verlet.py)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                v_full = v_full + corr / dt
+            v_full = jnp.where(moving, v_full, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state["positions"] = new_pos
@@ -239,8 +243,12 @@ class DrudeSCFIntegrator(_DrudeBase):
             # zero velocity of drude relative dof (they carry no dynamics)
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
+            # constraint-correction-only velocity recovery (see verlet.py)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                vnew = vnew + corr / dt
+            vnew = jnp.where(moving, vnew, vel)
             new_pos = minimize_drude(new_pos, state["box"], params_list,
                                      state["gp"], state["faux"])
             new_pos = deps.compute_vsites(new_pos)
@@ -347,10 +355,11 @@ class DrudeNoseHooverIntegrator(_DrudeBase):
             v = jnp.where(moving, v, vel)
             delta = delta + 0.5 * dt * v
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            v = v + jnp.where(
-                moving,
-                (new_pos - pos - jnp.where(moving, delta, 0.0)) / dt, 0.0)
+            # constraint-correction-only velocity recovery (see verlet.py)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                v = v + jnp.where(moving, corr / dt, 0.0)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state["positions"] = new_pos

@@ -80,8 +80,14 @@ class LangevinIntegrator(_StochasticMixin, Integrator):
             vnew = vscale * vel + fscale * forces * inv_m + noisescale * sqrt_inv_m * xi
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
+            # velocity recovery from the constraint correction only: the
+            # (new_pos - pos)/dt form injects an eps*|x|/dt velocity kick
+            # per step from the position-commit rounding (see verlet.py)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                vnew = vnew + corr / dt
+            vnew = jnp.where(moving, vnew, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state = commit_positions(state, pos, new_pos)
@@ -141,9 +147,13 @@ class LangevinMiddleIntegrator(_StochasticMixin, Integrator):
             v_o = jnp.where(moving, v_o, v)
             delta = delta + 0.5 * dt * v_o
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            # velocity correction from constrained delta
-            v_final = v_o + jnp.where(moving, (new_pos - pos - jnp.where(moving, delta, 0.0)) / dt, 0.0)
+            # velocity recovery from the constraint correction only (the
+            # (new_pos - pos - delta)/dt form still carries the eps*|x|
+            # position-commit rounding, see verlet.py)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            v_final = v_o if corr is None \
+                else v_o + jnp.where(moving, corr / dt, 0.0)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state = commit_positions(state, pos, new_pos)
@@ -192,8 +202,10 @@ class BrownianIntegrator(_StochasticMixin, Integrator):
                                       state["faux"])
             delta = tau_dt * forces * inv_m + noise_amp * sqrt_inv_m * xi
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            vnew = jnp.where(moving, (new_pos - pos) / dt, state["velocities"])
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            dmove = delta if corr is None else delta + corr
+            vnew = jnp.where(moving, dmove / dt, state["velocities"])
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state = commit_positions(state, pos, new_pos)

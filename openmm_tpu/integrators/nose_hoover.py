@@ -463,10 +463,13 @@ class NoseHooverIntegrator(Integrator):
             # A half
             delta = delta + 0.5 * dt * v
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            v = v + jnp.where(moving,
-                              (new_pos - pos - jnp.where(moving, delta, 0.0)) / dt,
-                              0.0)
+            # constraint-correction-only velocity recovery (see verlet.py:
+            # re-deriving from rounded positions injects eps*|x|/dt kicks —
+            # a real NVE-class leak for a deterministic thermostat chain)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                v = v + jnp.where(moving, corr / dt, 0.0)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state = commit_positions(state, pos, new_pos)

@@ -72,8 +72,13 @@ class VariableVerletIntegrator(Integrator):
             vnew = vel + dt * forces * inv_m
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
+            # constraint-correction-only velocity recovery (see verlet.py:
+            # (new_pos - pos)/dt injects an eps*|x|/dt kick per step)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                vnew = vnew + corr / dt
+            vnew = jnp.where(moving, vnew, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state = commit_positions(state, pos, new_pos)
@@ -143,8 +148,11 @@ class VariableLangevinIntegrator(_StochasticMixin, Integrator):
             vnew = vscale * vel + fscale * forces * inv_m + noisescale * sqrt_inv_m * xi
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            vnew = jnp.where(moving, (new_pos - pos) / dt, vel)
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            if corr is not None:
+                vnew = vnew + corr / dt
+            vnew = jnp.where(moving, vnew, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = dict(state)
             state = commit_positions(state, pos, new_pos)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .base import Integrator, commit_positions, twosum
+from .base import Integrator, commit_positions, twoprod, twosum
 
 
 class VerletIntegrator(Integrator):
@@ -52,19 +52,43 @@ class VerletIntegrator(Integrator):
                 delta_lo = jnp.where(moving, vlo_new * dt, 0.0)
             delta = vnew * dt
             new_pos_raw = pos + jnp.where(moving, delta, 0.0)
-            new_pos = deps.apply_position_constraints(pos, new_pos_raw)
-            # constrained delta: f32 subtraction of committed positions is
-            # exact; the division residual goes back into vel_lo so the
-            # (hi, lo) velocity pair stays faithful to the actual move
-            dc = new_pos - pos
-            vhi = jnp.where(moving, dc / dt, vel)
-            if vlo is not None:
-                vlo_new = jnp.where(
-                    moving, (dc - vhi * dt) / dt + vlo_new, vlo)
-                state = dict(state)
-                state["vel_lo"] = vlo_new
+            # Velocity recovery from the CONSTRAINT CORRECTION only.  The
+            # textbook (new_pos - pos)/dt re-derives velocity from rounded
+            # hi-plane positions: the position-commit rounding r ~ eps*|x|
+            # (captured in pos_lo for positions, invisible to velocities)
+            # becomes a random velocity kick r/dt every step -- a direct KE
+            # injection that scales with BOX SIZE, measured at +0.7 kT/dof/ns
+            # on 512 LJ argon (vs +1e-5 on the f64 oracle).  corr is exactly
+            # zero on unconstrained atoms (and computed at displacement
+            # scale by the f64 SETTLE solve), so unconstrained dynamics
+            # inherit the analytic kick velocity with NO re-derivation
+            # noise; position jitter (r stays in positions only) feeds back
+            # merely as eps-scale force noise, ~1e-13 kT/dof/step.  The
+            # reference gets the same effect by loading full mixed hi+lo
+            # positions in its recovery (common/src/kernels/verlet.cc,
+            # mixed4 loadPos).
+            new_pos, corr = deps.apply_position_constraints_corr(
+                pos, new_pos_raw)
+            state = dict(state)
+            if corr is None:
+                vhi = jnp.where(moving, vnew, vel)
+                if vlo is not None:
+                    state["vel_lo"] = jnp.where(moving, vlo_new, vlo)
             else:
-                state = dict(state)
+                cv = corr / dt
+                if vlo is not None:
+                    # capture the division rounding of corr/dt exactly
+                    # (Dekker two-product; fl(cv*dt) rounds at eps/2*|corr|)
+                    # so the (hi, lo) velocity stays faithful to the
+                    # constrained move
+                    p, perr = twoprod(cv, dt)
+                    cv_resid = ((corr - p) - perr) / dt
+                    vhi, e3 = twosum(vnew, cv)
+                    vlo_out = vlo_new + e3 + cv_resid
+                    vhi = jnp.where(moving, vhi, vel)
+                    state["vel_lo"] = jnp.where(moving, vlo_out, vlo)
+                else:
+                    vhi = jnp.where(moving, vnew + cv, vel)
             new_pos = deps.compute_vsites(new_pos)
             state = commit_positions(state, pos, new_pos,
                                      extra_lo=delta_lo)

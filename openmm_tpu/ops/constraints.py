@@ -389,11 +389,40 @@ def make_settle(settle_clusters, masses, dtype):
                 [x[:start], out, x[start + 3 * n_clusters:]])
         return jnp.concatenate([x, n0, n1, n2])[sel]
 
-    def apply_positions(ref_pos, new_pos):
+    # The solve runs in f64 (emulated on TPU, negligible: O(clusters)
+    # elementwise vs the O(N r^3) pair kernel) and returns a CORRECTION
+    # field rather than absolute positions.  Two reasons, both measured on
+    # the NVE heating hunt (tools/nve_probe5.py, 2026-08-19):
+    #   1. the f32 trig/sqrt chain carries a velocity-correlated
+    #      eps-relative bias that heats rigid TIP3P at ~1e-7 kT/dof/step
+    #      (dt-independent per step; neutral rigid water heats the same,
+    #      exonerating electrostatics);
+    #   2. rounding the OUTPUT at eps*|x| (global coords) re-injects the
+    #      same box-size-dependent velocity noise the corr-only integrator
+    #      recovery removed.  A correction rounds at eps*|corr| instead and
+    #      is exactly zero for untouched atoms.
+    # The reference solves SETTLE in double on every platform
+    # (ReferenceSETTLEAlgorithm.cpp; common kernels use mixed/double math).
+    f64 = jnp.float64
+    m0d, m1d, m2d = m0.astype(f64), m1.astype(f64), m2.astype(f64)
+    d1d, d2d = d1j.astype(f64), d2j.astype(f64)
+
+    def position_corrections(ref_pos, new_pos):
+        """f32 correction field c with  constrained = new_pos + c;
+        c is identically zero off the SETTLE clusters."""
         a0, a1, a2 = gather_triples(ref_pos)
         p0, p1, p2 = gather_triples(new_pos)
-        n0, n1, n2 = _settle_batch(a0, a1, a2, p0, p1, p2, m0, m1, m2, d1j, d2j)
-        return write_triples(new_pos, n0, n1, n2)
+        n0, n1, n2 = _settle_batch(
+            a0.astype(f64), a1.astype(f64), a2.astype(f64),
+            p0.astype(f64), p1.astype(f64), p2.astype(f64),
+            m0d, m1d, m2d, d1d, d2d)
+        c0 = (n0 - p0.astype(f64)).astype(new_pos.dtype)
+        c1 = (n1 - p1.astype(f64)).astype(new_pos.dtype)
+        c2 = (n2 - p2.astype(f64)).astype(new_pos.dtype)
+        return write_triples(jnp.zeros_like(new_pos), c0, c1, c2)
+
+    def apply_positions(ref_pos, new_pos):
+        return new_pos + position_corrections(ref_pos, new_pos)
 
     def apply_velocities(pos, vel):
         """Exact velocity constraints per cluster: solve the 3x3 system
@@ -429,7 +458,7 @@ def make_settle(settle_clusters, masses, dtype):
         dv2 = (lam[:, 1:2] * eac + lam[:, 2:3] * ebc) * w2[:, None]
         return write_triples(vel, v0 + dv0, v1 + dv1, v2 + dv2)
 
-    return apply_positions, apply_velocities
+    return apply_positions, apply_velocities, position_corrections
 
 
 def _solve3(A, b):

@@ -353,7 +353,7 @@ def build_tile_state(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                crf=0.0, block=64, want_energy=True, interpret=False,
-               mesh=None, switch_dist=-1.0):
+               mesh=None, switch_dist=-1.0, rows_per_program=1):
     """Direct-space (energy, forces) from the persistent tile state.
 
     Per step: permute positions into the persisted sorted frame (one
@@ -431,8 +431,9 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                          (switch_dist if use_switch else 0.0),
                          inv_sw_width, 0.0]], f32)
 
+    gr = max(1, int(rows_per_program))
     kernel = functools.partial(_kernel_body,
-                               mode=int(mode), kc=kq, b=block,
+                               mode=int(mode), kc=kq, b=block, gr=gr,
                                want_energy=bool(want_energy),
                                use_switch=bool(use_switch))
     grid = (nb, max_cols // kq)
@@ -447,11 +448,12 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
     def sweep(count, excl_count, img_count, feat_rows, pslab_s, sslab_s,
               bits_s):
         nb_loc = feat_rows.shape[0]
+        assert nb_loc % gr == 0
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
-                grid=(nb_loc, grid[1]),
+                grid=(nb_loc // gr, grid[1]),
                 in_specs=[
                     pl.BlockSpec((1, 16),
                                  lambda r, c, cnt, ecnt, icnt:
@@ -460,25 +462,25 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
                     pl.BlockSpec((8, cw),
                                  lambda r, c, cnt, ecnt, icnt:
                                      (r * 0, r * 0)),
-                    pl.BlockSpec((1, 6, block),
+                    pl.BlockSpec((gr, 6, block),
                                  lambda r, c, cnt, ecnt, icnt:
                                      (r, r * 0, r * 0)),
-                    pl.BlockSpec((1, 3, cw),
+                    pl.BlockSpec((gr, 3, cw),
                                  lambda r, c, cnt, ecnt, icnt:
                                      (r, r * 0, c)),
-                    pl.BlockSpec((1, 3, cw),
+                    pl.BlockSpec((gr, 3, cw),
                                  lambda r, c, cnt, ecnt, icnt:
                                      (r, r * 0, c)),
                     # bits exist only for the exclusion window; chunks past
                     # it never unpack masks, so clamp the index (re-fetch of
                     # an unchanged block is elided by the pipeline)
-                    pl.BlockSpec((1, 1, block, kq),
+                    pl.BlockSpec((gr, 1, block, kq),
                                  lambda r, c, cnt, ecnt, icnt,
                                  _m=exc_chunks - 1:
                                      (r, jnp.minimum(c, _m), r * 0, r * 0)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, 4, block),
+                    (gr, 4, block),
                     lambda r, c, cnt, ecnt, icnt: (r, r * 0, r * 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((nb_loc, 4, block), f32),
@@ -495,7 +497,7 @@ def eval_tiles(pos, box, st, n_real, cutoff, mode, alpha=0.0, krf=0.0,
         from jax.sharding import PartitionSpec as P
         from ..parallel.mesh import AXIS
         n_dev = mesh.devices.size
-        padb = (-nb) % n_dev
+        padb = (-nb) % (n_dev * gr)
 
         def padrows(x, value=0):
             if padb == 0:
@@ -538,7 +540,15 @@ def direct_ef_pallas(pos, box, charge, sigma, epsilon, exclusions, n_real,
 
 def _kernel_body(count_ref, exclcnt_ref, imgcnt_ref, consts_ref, lanebit_ref,
                  row_ref, pslab_ref, sslab_ref, bits_ref, out_ref, *, mode,
-                 kc, b, want_energy=True, use_switch=False):
+                 kc, b, gr=1, want_energy=True, use_switch=False):
+    """gr row blocks per program: 16-atom rows cull candidates ~3x tighter
+    than 64-atom rows (bbox geometry), but one-row-per-program at b=16
+    measured fixed-cost-bound (SURVEY §11: 32-atom rows cut pair slots 2.5x
+    yet sped the kernel only 1.13x). Processing gr consecutive row blocks
+    per program keeps ~64 atoms' worth of tiles per program (DMA issues,
+    prologue, pipeline bubbles amortized) while candidate sets stay
+    brick-tight. The reference's warp kernel has no such tradeoff (warps
+    are free); on TPU the grouping IS the warp analog."""
     import jax.experimental.pallas as pl
 
     ri = pl.program_id(0)
@@ -546,41 +556,46 @@ def _kernel_body(count_ref, exclcnt_ref, imgcnt_ref, consts_ref, lanebit_ref,
 
     @pl.when(ci == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    live = ci * kc < count_ref[ri]
-    masked = ci * kc < exclcnt_ref[ri]
-    imaged = ci * kc < imgcnt_ref[ri]
+    for j in range(gr):
+        rj = ri * gr + j
+        live = ci * kc < count_ref[rj]
+        masked = ci * kc < exclcnt_ref[rj]
+        imaged = ci * kc < imgcnt_ref[rj]
 
-    # candidate classes are prefix-ordered [exclusion | needs-image | plain]:
-    # chunks that can contain excluded pairs pay the bitmask unpack, chunks
-    # in the image window pay the per-pair minimum image (everything, when
-    # shifts are not baked), and the remaining chunks run the bare sweep
-    @pl.when(jnp.logical_and(live, masked))
-    def _():
-        _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
-                      sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
-                      kc=kc, b=b, want_energy=want_energy, use_mask=True,
-                      use_image=True, use_switch=use_switch)
+        # candidate classes are prefix-ordered [exclusion | needs-image |
+        # plain]: chunks that can contain excluded pairs pay the bitmask
+        # unpack, chunks in the image window pay the per-pair minimum image
+        # (everything, when shifts are not baked), and the remaining chunks
+        # run the bare sweep
+        @pl.when(jnp.logical_and(live, masked))
+        def _(j=j):
+            _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
+                          sslab_ref, bits_ref, out_ref, j, ci, mode=mode,
+                          kc=kc, b=b, want_energy=want_energy, use_mask=True,
+                          use_image=True, use_switch=use_switch)
 
-    @pl.when(jnp.logical_and(live, jnp.logical_and(
-            jnp.logical_not(masked), imaged)))
-    def _():
-        _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
-                      sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
-                      kc=kc, b=b, want_energy=want_energy, use_mask=False,
-                      use_image=True, use_switch=use_switch)
+        @pl.when(jnp.logical_and(live, jnp.logical_and(
+                jnp.logical_not(masked), imaged)))
+        def _(j=j):
+            _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
+                          sslab_ref, bits_ref, out_ref, j, ci, mode=mode,
+                          kc=kc, b=b, want_energy=want_energy,
+                          use_mask=False, use_image=True,
+                          use_switch=use_switch)
 
-    @pl.when(jnp.logical_and(live, jnp.logical_not(imaged)))
-    def _():
-        _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
-                      sslab_ref, bits_ref, out_ref, ri, ci, mode=mode,
-                      kc=kc, b=b, want_energy=want_energy, use_mask=False,
-                      use_image=False, use_switch=use_switch)
+        @pl.when(jnp.logical_and(live, jnp.logical_not(imaged)))
+        def _(j=j):
+            _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref,
+                          sslab_ref, bits_ref, out_ref, j, ci, mode=mode,
+                          kc=kc, b=b, want_energy=want_energy,
+                          use_mask=False, use_image=False,
+                          use_switch=use_switch)
 
 
 def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
-                  bits_ref, out_ref, ri, ci, *, mode, kc, b,
+                  bits_ref, out_ref, j, ci, *, mode, kc, b,
                   want_energy=True, use_mask=True, use_image=True,
                   use_switch=False):
     import jax.experimental.pallas as pl  # noqa: F401
@@ -599,9 +614,9 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
     inv_by = consts_ref[0, 11]
     inv_cz = consts_ref[0, 12]
 
-    row = row_ref[0]                                       # (6, b)
-    cpos = pslab_ref[0]                                    # (3, kc*b)
-    cstat = sslab_ref[0]                                   # (3, kc*b)
+    row = row_ref[j]                                       # (6, b)
+    cpos = pslab_ref[j]                                    # (3, kc*16)
+    cstat = sslab_ref[j]                                   # (3, kc*16)
 
     def rvec(k):
         return row[k:k + 1, :].reshape(b, 1)
@@ -633,7 +648,7 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
         # bit j of word w = parity of floor(w * 2^-(lane%16)); all-f32
         # arithmetic (Mosaic rejects vector shifts and int-bool bitcasts)
         cwl = kc * 16
-        w = bits_ref[0, 0]                                  # (b, kc) f32
+        w = bits_ref[j, 0]                                  # (b, kc) f32
         k_io = jax.lax.broadcasted_iota(jnp.int32, (kc, cwl), 0)
         l_io = jax.lax.broadcasted_iota(jnp.int32, (kc, cwl), 1)
         # int32() guard: the weak literal would promote the floor_divide to
@@ -713,4 +728,4 @@ def _tile_compute(consts_ref, lanebit_ref, row_ref, pslab_ref, sslab_ref,
     else:
         erow = jnp.zeros((1, b), jnp.float32)
     upd = jnp.concatenate([fx, fy, fz, erow], axis=0)
-    out_ref[0] = out_ref[0] + upd
+    out_ref[j] = out_ref[j] + upd
